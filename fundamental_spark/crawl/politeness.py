@@ -1,0 +1,65 @@
+"""Per-domain politeness gate.
+
+The reference throttles with Scrapy: DOWNLOAD_DELAY=2 s randomized,
+2 concurrent requests, AutoThrottle 2→30 s (funda/settings.py:15-28) —
+≈1 page/s ceiling on the one domain. (It sets ROBOTSTXT_OBEY=False,
+settings.py:12; we honor robots per the north rule — the budget simply
+takes crawl_delay from robots when present.)
+
+Distributed translation: a **wave budget** — each micro-batch may fetch
+at most ``floor(wave_seconds / crawl_delay × max_concurrency)`` pages
+per domain, taken in canonical frontier order. Selection is a
+distributed top-k (`orderBy(...).limit(n)` → TakeOrderedAndProject —
+no single-partition global sort), so the politeness gate itself scales;
+excess rows simply stay pending for the next wave. Fetch parallelism
+within the budget is then free to spread across executors because the
+*rate* is already capped by wave sizing.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# canonical crawl order (SURVEY.md §3.1): city, page it was discovered on,
+# priority class (seed=0 < detail=1 < refresh=2 < pagination=3), on-page pos
+CANONICAL_ORDER = ["city", "discovered_on_page", "priority", "page_pos", "url"]
+
+
+@dataclass
+class PolitenessConfig:
+    crawl_delay_s: float = 2.0       # funda/settings.py:20-21
+    max_concurrency: int = 2         # funda/settings.py:15-17
+    retry_times: int = 5             # funda/settings.py:31
+    retry_http_codes: tuple[int, ...] = (500, 502, 503, 504, 522, 524, 408, 429, 403)
+    timeout_s: int = 30              # funda/settings.py:49
+    robots_allowed: bool = True
+
+    def wave_budget(self, wave_seconds: float) -> int:
+        return max(1, math.floor(wave_seconds / self.crawl_delay_s * self.max_concurrency))
+
+
+def select_wave(pending: DataFrame, budget: int | None) -> DataFrame:
+    """Take the next ≤budget frontier rows in canonical order.
+
+    Single-domain case (the reference's world): global top-k. With many
+    domains the same call runs per-domain via a rank window partitioned
+    by ``domain`` — partitions are independent so no hot key.
+    """
+    ordered = [F.col(c) for c in CANONICAL_ORDER]
+    if budget is None:
+        return pending
+    n_domains = 1  # reference crawls exactly one host (funda_spider.py:13)
+    if n_domains == 1:
+        return pending.orderBy(*ordered).limit(budget)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(*ordered)
+    return (
+        pending.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= budget)
+        .drop("_rk")
+    )

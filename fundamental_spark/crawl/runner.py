@@ -1,0 +1,453 @@
+"""Wave-driven crawl runner: the distributed twin of the Scrapy spider.
+
+One **wave** = one micro-batch over the frontier (SURVEY.md §2.8 T1):
+
+  pending frontier rows
+    → politeness budget (canonical-order top-k per domain)
+    → distributed fetch (join against the synthetic web table; a real
+      deployment swaps in the mapInPandas HTTP fetcher, fetch.py)
+    → search pages parsed JVM-side → candidate listing URLs
+    → two-stage seen-set filter (bloom prefilter + exact anti-join)
+    → new detail rows + next-page rows enqueued
+    → detail pages parsed into interleaved span sequences (Arrow UDF)
+      → documents table
+    → lineage: crawl_log + per-wave metrics (incl. per-shard fetch
+      counts — the skew evidence for the salted single-host key)
+
+Sequential-pagination semantics are preserved *structurally*: page p+1
+is only discovered while parsing page p, so each city has at most one
+pending search page per wave — the stop counters (3 consecutive empty
+pages, 3/1 consecutive pages without new listings, max_pages;
+funda_spider.py:39-42,127-145, funda_spider_sold.py:139-141) update on
+a per-seed aggregate that stays O(#cities) regardless of frontier size.
+
+Exact resume (T5): every table write is a new immutable snapshot
+(tableformat.py); a wave commits by atomically writing
+``checkpoint.json`` pinning each table's snapshot version. A crash
+mid-wave leaves the previous checkpoint intact; reopening the runner
+replays from the pinned versions, producing a final state identical to
+an uninterrupted run (verified by tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..tableformat import Warehouse
+from . import PRIORITY_DETAIL, PRIORITY_PAGINATION, PRIORITY_SEED
+from .canonical import DEFAULT_N_SHARDS, with_url_keys
+from .parse import parse_search_pages, parse_spans_udf
+from .politeness import PolitenessConfig, select_wave
+from .seen import filter_new_urls
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType()),
+        StructField("domain", StringType()),
+        StructField("domain_shard", IntegerType()),
+        StructField("kind", StringType()),               # 'search' | 'detail'
+        StructField("priority", IntegerType()),
+        StructField("city", StringType()),
+        StructField("page_idx", IntegerType()),          # search: its page number; detail: page found on
+        StructField("discovered_on_page", IntegerType()),
+        StructField("page_pos", IntegerType()),
+        StructField("wave_enqueued", IntegerType()),
+        StructField("attempt", IntegerType()),
+        StructField("state", StringType()),              # pending | fetched | failed | dropped
+    ]
+)
+
+URL_SEEN_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType()),
+        StructField("domain_shard", IntegerType()),
+        StructField("first_seen_wave", IntegerType()),
+    ]
+)
+
+DOCUMENTS_SCHEMA_DDL = (
+    "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "wave int, city string, discovered_on_page int, page_pos int"
+)
+
+CRAWL_LOG_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("kind", StringType()),
+        StructField("city", StringType()),
+        StructField("discovered_on_page", IntegerType()),
+        StructField("priority", IntegerType()),
+        StructField("page_pos", IntegerType()),
+        StructField("wave_fetched", IntegerType()),
+    ]
+)
+
+WAVE_METRICS_SCHEMA = StructType(
+    [
+        StructField("wave", IntegerType()),
+        StructField("pages_fetched", LongType()),
+        StructField("search_pages", LongType()),
+        StructField("detail_pages", LongType()),
+        StructField("new_listing_urls", LongType()),
+        StructField("shard_counts", StringType()),
+    ]
+)
+
+
+@dataclass
+class CityState:
+    city: str
+    consecutive_empty: int = 0
+    consecutive_no_new: int = 0
+    stopped: bool = False
+
+
+@dataclass
+class CrawlRunner:
+    spark: SparkSession
+    warehouse_root: str
+    web: DataFrame                      # synthetic web: (url, html[, fail_until_attempt])
+    spider_type: str = "active"         # active: no-new stop at 3; sold: at 1
+    max_pages: int = 100
+    politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
+    wave_seconds: float | None = None   # None -> unlimited budget per wave
+    use_bloom: bool = True
+    n_shards: int = DEFAULT_N_SHARDS
+    wave: int = 0
+    city_states: dict[str, CityState] = field(default_factory=dict)
+    _versions: dict[str, int] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.wh = Warehouse(self.spark, self.warehouse_root)
+        if "fail_until_attempt" not in self.web.columns:
+            self.web = self.web.withColumn("fail_until_attempt", F.lit(0))
+        if os.path.exists(self._ckpt_path()):
+            self._load_checkpoint()
+
+    # ---- checkpointing ----------------------------------------------------
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.warehouse_root, "checkpoint.json")
+
+    def _commit_wave(self) -> None:
+        state = {
+            "wave": self.wave,
+            "spider_type": self.spider_type,
+            "versions": self._versions,
+            "cities": {
+                c: {
+                    "consecutive_empty": s.consecutive_empty,
+                    "consecutive_no_new": s.consecutive_no_new,
+                    "stopped": s.stopped,
+                }
+                for c, s in self.city_states.items()
+            },
+        }
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._ckpt_path())
+
+    def _load_checkpoint(self) -> None:
+        with open(self._ckpt_path()) as f:
+            state = json.load(f)
+        self.wave = state["wave"]
+        self._versions = state["versions"]
+        self.city_states = {
+            c: CityState(city=c, **v) for c, v in state["cities"].items()
+        }
+
+    DELTA_TABLES = ("url_seen", "documents", "crawl_log", "wave_metrics")
+
+    def _read(self, name: str) -> DataFrame:
+        return self.wh.read(name, version=self._versions[name])
+
+    def _read_deltas(self, name: str) -> DataFrame:
+        return self.wh.read_deltas(name, version=self._versions[name])
+
+    def _write(self, name: str, df: DataFrame) -> None:
+        self._versions[name] = self.wh.overwrite(name, df)
+
+    def _append_delta(self, name: str, df: DataFrame) -> None:
+        self._versions[name] = self.wh.append_delta(name, df)
+
+    # ---- initialization ----------------------------------------------------
+    def init(self, seeds: list[tuple[str, str]], existing_urls: list[str] | None = None) -> None:
+        """seeds: [(seed_search_url, city)]; existing_urls: pre-seen set
+        (the DB-backed set, funda_spider.py:46)."""
+        spark = self.spark
+        seed_rows = [
+            (url, "search", PRIORITY_SEED, city, 1, 0, 0, 0, "pending")
+            for (url, city) in seeds
+        ]
+        seed_df = spark.createDataFrame(
+            seed_rows,
+            "url string, kind string, priority int, city string, page_idx int, "
+            "discovered_on_page int, page_pos int, attempt int, state string",
+        )
+        frontier = (
+            with_url_keys(seed_df, n_shards=self.n_shards)
+            .withColumn("wave_enqueued", F.lit(0))
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        self._write("frontier", frontier)
+
+        seen_src = spark.createDataFrame(
+            [(u,) for u in (existing_urls or [])], "url string"
+        )
+        seen = (
+            with_url_keys(seen_src, n_shards=self.n_shards)
+            .withColumn("first_seen_wave", F.lit(-1))
+            .select(*[f.name for f in URL_SEEN_SCHEMA.fields])
+        )
+        self._write("url_seen", seen)
+        self._write("documents", spark.createDataFrame([], DOCUMENTS_SCHEMA_DDL))
+        self._write("crawl_log", spark.createDataFrame([], CRAWL_LOG_SCHEMA))
+        self._write("wave_metrics", spark.createDataFrame([], WAVE_METRICS_SCHEMA))
+        self.city_states = {city: CityState(city=city) for (_, city) in seeds}
+        self.wave = 0
+        self._commit_wave()
+
+    # ---- one wave ----------------------------------------------------------
+    def step(self) -> bool:
+        """Advance one wave. Returns False when the frontier is drained."""
+        wave = self.wave + 1
+        frontier = self._read("frontier")
+        url_seen = self._read_deltas("url_seen")
+        pending = frontier.filter(F.col("state") == "pending")
+
+        budget = (
+            None
+            if self.wave_seconds is None
+            else self.politeness.wave_budget(self.wave_seconds)
+        )
+        selected = select_wave(pending, budget).cache()
+        if selected.isEmpty():
+            selected.unpersist()
+            return False
+
+        fetched = selected.join(self.web, "url", "left").withColumn(
+            "fetch_ok",
+            F.col("html").isNotNull() & (F.col("attempt") >= F.col("fail_until_attempt")),
+        ).cache()
+
+        # --- search pages ---------------------------------------------------
+        search_ok = fetched.filter((F.col("kind") == "search") & F.col("fetch_ok"))
+        parsed = parse_search_pages(search_ok).cache()
+        candidates = (
+            parsed.select(
+                "city",
+                F.col("page_idx").alias("discovered_on_page"),
+                F.posexplode_outer("listing_urls").alias("page_pos", "cand_url"),
+            )
+            .filter(F.col("cand_url").isNotNull())
+            .withColumnRenamed("cand_url", "url")
+        )
+        candidates = with_url_keys(candidates, n_shards=self.n_shards)
+        # intra-wave dedup, keeping the canonically-first occurrence
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(
+            "city", "discovered_on_page", "page_pos"
+        )
+        candidates = (
+            candidates.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        new_cands = filter_new_urls(
+            candidates, url_seen, use_bloom=self.use_bloom
+        ).cache()
+
+        # --- per-page stats for stop rules (O(#cities) rows) -----------------
+        page_stats = {
+            (r["city"], r["page_idx"]): r
+            for r in parsed.select(
+                "city",
+                "page_idx",
+                F.size(F.col("listing_urls")).alias("n_listings"),
+                "next_page",
+            ).collect()
+        }
+        new_counts = {
+            (r["city"], r["discovered_on_page"]): r["n"]
+            for r in new_cands.groupBy("city", "discovered_on_page")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+        # --- stop rules + pagination enqueue (sequential semantics) ----------
+        next_pages: list[tuple[str, str, int]] = []  # (url, city, page_idx)
+        for (city, page_idx), r in sorted(page_stats.items()):
+            st = self.city_states[city]
+            n_listings = r["n_listings"] or 0
+            n_new = new_counts.get((city, page_idx), 0)
+            if n_listings == 0:
+                st.consecutive_empty += 1
+                st.consecutive_no_new += 1
+            else:
+                st.consecutive_empty = 0
+                if n_new == 0:
+                    st.consecutive_no_new += 1
+                else:
+                    st.consecutive_no_new = 0
+            no_new_threshold = 3 if self.spider_type == "active" else 1
+            if (
+                st.consecutive_empty >= 3
+                or st.consecutive_no_new >= no_new_threshold
+                or page_idx >= self.max_pages
+                or r["next_page"] is None
+            ):
+                st.stopped = True
+            elif not st.stopped:
+                next_pages.append((r["next_page"], city, page_idx + 1))
+
+        # --- build new frontier rows -----------------------------------------
+        detail_rows = new_cands.select(
+            "url",
+            "url_hash",
+            "domain",
+            "domain_shard",
+            F.lit("detail").alias("kind"),
+            F.lit(PRIORITY_DETAIL).alias("priority"),
+            "city",
+            F.col("discovered_on_page").alias("page_idx"),
+            "discovered_on_page",
+            "page_pos",
+            F.lit(wave).alias("wave_enqueued"),
+            F.lit(0).alias("attempt"),
+            F.lit("pending").alias("state"),
+        )
+        if next_pages:
+            np_df = self.spark.createDataFrame(
+                [
+                    (u, "search", PRIORITY_PAGINATION, c, p, p - 1, 0, 0, "pending")
+                    for (u, c, p) in next_pages
+                ],
+                "url string, kind string, priority int, city string, page_idx int, "
+                "discovered_on_page int, page_pos int, attempt int, state string",
+            )
+            np_rows = (
+                with_url_keys(np_df, n_shards=self.n_shards)
+                .withColumn("wave_enqueued", F.lit(wave))
+                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            )
+            detail_rows = detail_rows.select(
+                *[f.name for f in FRONTIER_SCHEMA.fields]
+            ).unionByName(np_rows)
+        else:
+            detail_rows = detail_rows.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+        # --- frontier state transitions --------------------------------------
+        outcome = fetched.select(
+            "url",
+            F.col("fetch_ok"),
+            (F.col("attempt") + 1).alias("next_attempt"),
+        )
+        untouched = frontier.join(selected.select("url"), "url", "left_anti")
+        transitioned = (
+            selected.drop("state", "attempt")
+            .join(outcome, "url")
+            .withColumn(
+                "state",
+                F.when(F.col("fetch_ok"), F.lit("fetched"))
+                .when(
+                    F.col("next_attempt") <= F.lit(self.politeness.retry_times),
+                    F.lit("pending"),
+                )
+                .otherwise(F.lit("dropped")),
+            )
+            .withColumn("attempt", F.col("next_attempt"))
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        new_frontier = untouched.unionByName(transitioned).unionByName(detail_rows)
+        self._write("frontier", new_frontier)
+
+        # --- seen set ---------------------------------------------------------
+        seen_add = new_cands.select(
+            "url", "url_hash", "domain_shard", F.lit(wave).alias("first_seen_wave")
+        )
+        self._append_delta("url_seen", seen_add)
+
+        # --- documents (detail pages -> interleaved spans) --------------------
+        detail_ok = fetched.filter((F.col("kind") == "detail") & F.col("fetch_ok"))
+        docs = detail_ok.select(
+            F.col("url").alias("doc_id"),
+            parse_spans_udf(F.col("html")).alias("spans"),
+            F.lit(wave).alias("wave"),
+            "city",
+            "discovered_on_page",
+            "page_pos",
+        )
+        self._append_delta("documents", docs)
+
+        # --- lineage -----------------------------------------------------------
+        log_rows = fetched.filter(F.col("fetch_ok")).select(
+            "url", "kind", "city", "discovered_on_page", "priority", "page_pos",
+            F.lit(wave).alias("wave_fetched"),
+        )
+        self._append_delta("crawl_log", log_rows)
+
+        fetch_summary = (
+            fetched.filter(F.col("fetch_ok"))
+            .groupBy("kind", "domain_shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        shard_counts: dict[str, int] = {}
+        n_search = n_detail = 0
+        for r in fetch_summary:
+            shard_counts[str(r["domain_shard"])] = (
+                shard_counts.get(str(r["domain_shard"]), 0) + r["n"]
+            )
+            if r["kind"] == "search":
+                n_search += r["n"]
+            else:
+                n_detail += r["n"]
+        n_new = sum(new_counts.values())
+        metrics = self.spark.createDataFrame(
+            [
+                (
+                    wave,
+                    n_search + n_detail,
+                    n_search,
+                    n_detail,
+                    n_new,
+                    json.dumps(shard_counts, sort_keys=True),
+                )
+            ],
+            WAVE_METRICS_SCHEMA,
+        )
+        self._append_delta("wave_metrics", metrics)
+
+        self.wave = wave
+        self._commit_wave()
+        for df in (selected, fetched, parsed, new_cands):
+            df.unpersist()
+        return True
+
+    def run(self, max_waves: int = 1000) -> int:
+        """Drain the frontier; returns the number of waves executed."""
+        executed = 0
+        while executed < max_waves and self.step():
+            executed += 1
+        return executed
+
+    # ---- convenience readers ------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name in self.DELTA_TABLES:
+            return self._read_deltas(name)
+        return self._read(name)

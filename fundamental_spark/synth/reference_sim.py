@@ -1,0 +1,211 @@
+"""Pure-Python simulation of the reference spider's crawl semantics.
+
+This is the oracle for the crawl-equivalence tests (SURVEY.md §5.3):
+it reimplements, single-threaded and sequentially, exactly what
+``funda_spider.py`` does —
+
+- seen-set: in-run set ∪ DB-backed existing set (funda_spider.py:35,46,119-120)
+- JSON-LD ItemList URL extraction in on-page order (funda_spider.py:96-107)
+- path filter '/detail/koop/' (funda_spider.py:104)
+- stop rules: 3 consecutive empty pages (:39-40,127-135); 3 consecutive
+  pages without new listings for the active spider vs 1 for the sold
+  spider (:41-42,138-145; funda_spider_sold.py:139-141); max_pages (:32,159)
+- sequential pagination: next page requested only while parsing the
+  current page (:159-186)
+- detail pages parsed into interleaved span sequences.
+
+The span parser here is deliberately an *independent implementation*
+(stdlib HTMLParser event stream) from the engine's vectorized regex
+parser, so span-sequence equality is a real check.
+
+Canonical crawl-order key (SURVEY.md §3.1): the reference iterates new
+listing URLs as a Python set (funda_spider.py:149) so intra-page order
+is hash-salted; the deterministic contract is
+(discovered_on_page, priority, position_on_page) with priorities
+seed/search=0|3, detail=1. The simulator emits its log in that order.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from .site import SyntheticSite
+
+PRIORITY_SEED = 0
+PRIORITY_DETAIL = 1
+PRIORITY_REFRESH = 2
+PRIORITY_PAGINATION = 3
+
+
+# ---------------------------------------------------------------------------
+# Independent span parser (HTMLParser event stream)
+# ---------------------------------------------------------------------------
+class _SpanParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__()
+        self.spans: list[tuple[str, str | None, str | None]] = []
+        self._capture: str | None = None
+        self._buf: list[str] = []
+        self._dt_label: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "script" and a.get("type") == "application/ld+json":
+            self._capture = "script"
+            self._buf = []
+        elif tag in ("h1", "p", "dt", "dd"):
+            self._capture = tag
+            self._buf = []
+        elif tag == "img" and a.get("src"):
+            self.spans.append(("media", None, a["src"]))
+
+    def handle_data(self, data):
+        if self._capture:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag):
+        if self._capture is None:
+            return
+        text = "".join(self._buf).strip()
+        if tag == "script" and self._capture == "script":
+            self.spans.append(("text", text, None))
+        elif tag in ("h1", "p") and self._capture == tag:
+            self.spans.append(("text", text, None))
+        elif tag == "dt" and self._capture == "dt":
+            self._dt_label = text
+        elif tag == "dd" and self._capture == "dd":
+            label = self._dt_label or ""
+            self.spans.append(("text", f"{label}: {text}", None))
+            self._dt_label = None
+        self._capture = None
+        self._buf = []
+
+
+def parse_spans(html: str) -> list[tuple[str, str | None, str | None, int]]:
+    p = _SpanParser()
+    p.feed(html)
+    return [(k, t, m, i) for i, (k, t, m) in enumerate(p.spans)]
+
+
+# ---------------------------------------------------------------------------
+# Search-page extraction (JSON-LD order, as funda_spider.py:96-107)
+# ---------------------------------------------------------------------------
+class _SearchParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__()
+        self.jsonld: str | None = None
+        self.next_page: str | None = None
+        self._in_ld = False
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "script" and a.get("type") == "application/ld+json":
+            self._in_ld = True
+            self._buf = []
+        elif tag == "a" and a.get("data-test-id") == "next-page-button":
+            self.next_page = a.get("href")
+
+    def handle_data(self, data):
+        if self._in_ld:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._in_ld:
+            self.jsonld = "".join(self._buf)
+            self._in_ld = False
+
+
+def extract_search(html: str) -> tuple[list[str], str | None]:
+    p = _SearchParser()
+    p.feed(html)
+    urls: list[str] = []
+    if p.jsonld:
+        data = json.loads(p.jsonld)
+        for item in data.get("itemListElement", []):
+            u = item.get("url")
+            if u and "/detail/koop/" in u:
+                urls.append(u)
+    return urls, p.next_page
+
+
+# ---------------------------------------------------------------------------
+# The crawl simulation
+# ---------------------------------------------------------------------------
+@dataclass
+class SimResult:
+    # canonical-order crawl log: (url, kind, discovered_on_page, priority, pos, city)
+    crawl_log: list[tuple[str, str, int, int, int, str]]
+    seen_urls: set[str]
+    spans_by_doc: dict[str, list[tuple[str, str | None, str | None, int]]]
+    pages_visited_by_city: dict[str, int]
+
+
+def simulate_crawl(
+    site: SyntheticSite,
+    spider_type: str = "active",
+    existing_urls: set[str] | None = None,
+    max_pages: int = 100,
+) -> SimResult:
+    existing = set(existing_urls or set())
+    no_new_threshold = 3 if spider_type == "active" else 1  # the asymmetry
+    empty_threshold = 3
+    log: list[tuple[str, str, int, int, int, str]] = []
+    seen: set[str] = set()
+    spans: dict[str, list] = {}
+    pages_by_city: dict[str, int] = {}
+
+    for city in site.cities:
+        processed: set[str] = set()  # per-run set, reference resets per spider run
+        consecutive_empty = 0
+        consecutive_no_new = 0
+        page = 1
+        url = site.search_url(city, 1)
+        log.append((url, "search", 0, PRIORITY_SEED, 0, city))
+        while True:
+            html = site.fetch(url)
+            if html is None:
+                break
+            pages_by_city[city] = page
+            urls, next_page = extract_search(html)
+            if not urls:
+                consecutive_empty += 1
+                consecutive_no_new += 1
+            else:
+                consecutive_empty = 0
+                new = [
+                    u for u in urls if u not in processed and u not in existing
+                ]
+                if not new:
+                    consecutive_no_new += 1
+                else:
+                    consecutive_no_new = 0
+                for pos, u in enumerate(urls):
+                    if u in processed or u in existing:
+                        continue
+                    processed.add(u)
+                    seen.add(u)
+                    log.append((u, "detail", page, PRIORITY_DETAIL, pos, city))
+                    dhtml = site.fetch(u)
+                    if dhtml is not None:
+                        spans[u] = parse_spans(dhtml)
+            stop = (
+                consecutive_empty >= empty_threshold
+                or consecutive_no_new >= no_new_threshold
+                or page >= max_pages
+                or next_page is None
+            )
+            if stop:
+                break
+            page += 1
+            url = next_page
+            log.append((url, "search", page - 1, PRIORITY_PAGINATION, 0, city))
+
+    return SimResult(
+        crawl_log=log,
+        seen_urls=seen,
+        spans_by_doc=spans,
+        pages_visited_by_city=pages_by_city,
+    )

@@ -1,0 +1,286 @@
+"""Deterministic synthetic funda-style site.
+
+Generates the world both crawlers (the pure-Python reference simulator
+and the Spark frontier pipeline) run against:
+
+- per-city listings with the field formats the reference extracts
+  (funda_spider.py:188-453): price "€ 450.000 k.k.", "N kamers",
+  "Bouwjaar YYYY", energy labels, Dutch dates, postal codes, JSON-LD;
+- search-result pages (page_size listings, sort=date_down) with a
+  JSON-LD ItemList (funda_spider.py:96-107) and a next-page anchor
+  (funda_spider.py:159-165);
+- detail pages whose body is an interleaved sequence of text blocks and
+  media (photos/floorplans) — the span-sequence shape mandated by
+  BASELINE.json input_hint.
+
+Everything derives from (seed, index); dates derive from a fixed epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from dataclasses import dataclass, field
+
+BASE = "https://www.funda.nl"
+EPOCH_ORD = 739000  # fixed date ordinal (≈2024-03) — no wall-clock anywhere
+
+STREETS = [
+    "Keizersgracht", "Prinsengracht", "Herengracht", "Dorpsstraat",
+    "Kerkstraat", "Molenweg", "Stationsplein", "Wilhelminalaan",
+    "Beatrixstraat", "Julianalaan", "Lindelaan", "Hoofdstraat",
+]
+NEIGHBORHOODS = ["Centrum", "Noord", "Zuid", "Oost", "West", "Binnenstad"]
+ENERGY_LABELS = ["A++", "A+", "A", "B", "C", "D", "E", "F", "G"]
+PROPERTY_TYPES = ["appartement", "huis"]
+MONTHS_NL = [
+    "januari", "februari", "maart", "april", "mei", "juni", "juli",
+    "augustus", "september", "oktober", "november", "december",
+]
+DESCRIPTION_WORDS = [
+    "ruime", "lichte", "karakteristieke", "moderne", "sfeervolle",
+    "woning", "appartement", "tuin", "balkon", "dakterras", "keuken",
+    "badkamer", "woonkamer", "slaapkamer", "gelegen", "nabij", "centrum",
+]
+
+
+def _date_str(ordinal: int) -> str:
+    import datetime
+
+    return datetime.date.fromordinal(ordinal).isoformat()
+
+
+def _dutch_date(ordinal: int) -> str:
+    import datetime
+
+    d = datetime.date.fromordinal(ordinal)
+    return f"{d.day} {MONTHS_NL[d.month - 1]} {d.year}"
+
+
+@dataclass
+class Listing:
+    listing_id: int
+    city: str
+    url: str
+    street: str
+    house_number: int
+    neighborhood: str
+    property_type: str
+    postal_code: str
+    price: int | None
+    living_area: int | None
+    num_rooms: int | None
+    year_built: int | None
+    energy_label: str | None
+    listing_date_ord: int
+    status: str  # 'active' | 'sold'
+    selling_date_ord: int | None
+    # field-source knobs: exercise the extractor coalesce ladders
+    price_in_jsonld: bool = True
+    area_in_jsonld: bool = True
+    energy_in_dd: bool = True  # else only in description text
+
+    @property
+    def listing_date(self) -> str:
+        return _date_str(self.listing_date_ord)
+
+    @property
+    def selling_date(self) -> str | None:
+        return None if self.selling_date_ord is None else _date_str(self.selling_date_ord)
+
+
+@dataclass
+class SyntheticSite:
+    seed: int
+    cities: list[str]
+    page_size: int
+    listings: list[Listing] = field(default_factory=list)
+    # page_url -> html ; detail url -> html
+    search_pages: dict[str, str] = field(default_factory=dict)
+    detail_pages: dict[str, str] = field(default_factory=dict)
+    # page metadata: city -> ordered list of (page_url, [listing urls in page order])
+    pages_by_city: dict[str, list[tuple[str, list[str]]]] = field(default_factory=dict)
+
+    def search_url(self, city: str, page: int) -> str:
+        # funda_spider.py:50-59 shape: place + sort=date_down (+ page);
+        # percent-encoded so the URL survives href="..." attributes
+        area = f"%5B%22{city}%22%5D"
+        suffix = "" if page == 1 else f"&search_result={page}"
+        return f"{BASE}/zoeken/koop?selected_area={area}&sort=date_down{suffix}"
+
+    def fetch(self, url: str) -> str | None:
+        return self.search_pages.get(url) or self.detail_pages.get(url)
+
+
+def _jsonld_detail(l: Listing) -> str:
+    obj: dict = {
+        "@type": "Appartement" if l.property_type == "appartement" else "Huis",
+        "address": {
+            "streetAddress": f"{l.street} {l.house_number}",
+            "postalCode": l.postal_code,
+            "addressLocality": f"{l.city.capitalize()}, {l.neighborhood}",
+        },
+        "url": l.url,
+        "datePosted": l.listing_date,
+    }
+    if l.price is not None and l.price_in_jsonld:
+        obj["offers"] = {"price": l.price, "priceCurrency": "EUR"}
+    if l.living_area is not None and l.area_in_jsonld:
+        obj["floorSize"] = {"value": l.living_area, "unitCode": "MTK"}
+    if l.status == "sold" and l.selling_date:
+        obj["dateSold"] = l.selling_date
+    return json.dumps(obj, separators=(",", ":"), sort_keys=True)
+
+
+def _description(rng: random.Random, l: Listing) -> str:
+    words = [DESCRIPTION_WORDS[rng.randrange(len(DESCRIPTION_WORDS))] for _ in range(24)]
+    desc = " ".join(words)
+    if not l.energy_in_dd and l.energy_label:
+        # description-text energy fallback (funda_spider.py:246-257)
+        desc += f" energielabel {l.energy_label.lower()} aanwezig"
+    return desc
+
+
+def _fmt_price(price: int) -> str:
+    s = f"{price:,}".replace(",", ".")
+    return f"€ {s} k.k."
+
+
+def render_detail_html(rng: random.Random, l: Listing) -> str:
+    """Detail page: interleaved text blocks + media, stable order."""
+    parts = [
+        "<html><head>",
+        f'<script type="application/ld+json">{_jsonld_detail(l)}</script>',
+        "</head><body>",
+        f'<h1 class="object-header__title">{l.street} {l.house_number}, '
+        f"{l.postal_code} {l.city.capitalize()}</h1>",
+    ]
+    n_photos = 1 + rng.randrange(3)
+    for i in range(n_photos):
+        parts.append(f'<img src="{BASE}/media/{l.listing_id}_{i}.jpg">')
+    parts.append(f'<p class="object-description-body">{_description(rng, l)}</p>')
+    parts.append(f'<img src="{BASE}/media/{l.listing_id}_plattegrond.png">')
+    dd: list[tuple[str, str]] = []
+    if l.price is not None:
+        dd.append(("Vraagprijs", _fmt_price(l.price)))
+    if l.living_area is not None:
+        dd.append(("Wonen", f"{l.living_area} m²"))
+    if l.num_rooms is not None:
+        slaap = max(1, l.num_rooms - 1)
+        dd.append(("Aantal kamers", f"{l.num_rooms} kamers ({slaap} slaapkamers)"))
+    if l.year_built is not None:
+        dd.append(("Bouwjaar", str(l.year_built)))
+    if l.energy_label is not None and l.energy_in_dd:
+        dd.append(("Energielabel", l.energy_label))
+    dd.append(("Aangeboden sinds", _dutch_date(l.listing_date_ord)))
+    if l.status == "sold" and l.selling_date_ord is not None:
+        dd.append(("Verkoopdatum", _dutch_date(l.selling_date_ord)))
+    for k, v in dd:
+        parts.append(f"<dt>{k}</dt><dd>{v}</dd>")
+    parts.append(f'<p class="object-buurt">Buurt: {l.neighborhood}</p>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def render_search_html(site: SyntheticSite, city: str, page: int) -> str:
+    pages = site.pages_by_city[city]
+    _, urls = pages[page - 1]
+    items = [
+        {"@type": "ListItem", "position": i + 1, "url": u} for i, u in enumerate(urls)
+    ]
+    ld = json.dumps(
+        {"@type": "ItemList", "itemListElement": items}, separators=(",", ":")
+    )
+    parts = [
+        "<html><head>",
+        f'<script type="application/ld+json">{ld}</script>',
+        "</head><body>",
+    ]
+    for u in urls:
+        parts.append(f'<div data-test-id="search-result-item"><a href="{u}"></a></div>')
+    if page < len(pages):
+        parts.append(
+            f'<a data-test-id="next-page-button" href="{site.search_url(city, page + 1)}">Volgende</a>'
+        )
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def web_rows(site: SyntheticSite) -> list[tuple[str, str]]:
+    """All (url, html) pairs — materialize as the Spark 'web' table the
+    distributed fetcher joins against."""
+    rows = list(site.search_pages.items()) + list(site.detail_pages.items())
+    rows.sort()
+    return rows
+
+
+def build_site(
+    seed: int = 42,
+    cities: tuple[str, ...] = ("amsterdam", "utrecht"),
+    listings_per_city: int = 40,
+    page_size: int = 15,
+    sold_fraction: float = 0.25,
+    null_fraction: float = 0.15,
+    empty_tail_pages: int = 0,
+) -> SyntheticSite:
+    """Build the deterministic site. ``empty_tail_pages`` appends pages with
+    zero listings after the real ones (exercises the 3-empty-pages stop,
+    funda_spider.py:39-40,127-135)."""
+    rng = random.Random(seed)
+    site = SyntheticSite(seed=seed, cities=list(cities), page_size=page_size)
+    lid = 0
+    for ci, city in enumerate(cities):
+        city_listings: list[Listing] = []
+        for i in range(listings_per_city):
+            lid += 1
+            street = STREETS[rng.randrange(len(STREETS))]
+            num = 1 + rng.randrange(200)
+            ptype = PROPERTY_TYPES[rng.randrange(2)]
+            slug = f"{ptype}-{street.lower()}-{num}-{lid}"
+            url = f"{BASE}/detail/koop/{city}/{slug}/{43000000 + lid}/"
+            postal = f"{1000 + ci * 500 + rng.randrange(40)} {chr(65 + rng.randrange(26))}{chr(65 + rng.randrange(26))}"
+            sold = rng.random() < sold_fraction
+            ldate = EPOCH_ORD - i - rng.randrange(3)  # date_down ≈ newest first
+            listing = Listing(
+                listing_id=lid,
+                city=city,
+                url=url,
+                street=street,
+                house_number=num,
+                neighborhood=NEIGHBORHOODS[rng.randrange(len(NEIGHBORHOODS))],
+                property_type=ptype,
+                postal_code=postal,
+                price=None if rng.random() < null_fraction else 150_000 + rng.randrange(850) * 1000,
+                living_area=None if rng.random() < null_fraction else 30 + rng.randrange(220),
+                num_rooms=None if rng.random() < null_fraction else 1 + rng.randrange(8),
+                year_built=None if rng.random() < null_fraction else 1900 + rng.randrange(125),
+                energy_label=None if rng.random() < null_fraction else ENERGY_LABELS[rng.randrange(9)],
+                listing_date_ord=ldate,
+                status="sold" if sold else "active",
+                selling_date_ord=(ldate + 10 + rng.randrange(120)) if sold else None,
+                price_in_jsonld=rng.random() > 0.3,
+                area_in_jsonld=rng.random() > 0.3,
+                energy_in_dd=rng.random() > 0.3,
+            )
+            city_listings.append(listing)
+            site.listings.append(listing)
+        # sort=date_down: newest first, id tiebreak (deterministic)
+        city_listings.sort(key=lambda l: (-l.listing_date_ord, l.listing_id))
+        pages: list[tuple[str, list[str]]] = []
+        for p0 in range(0, len(city_listings), page_size):
+            page_no = len(pages) + 1
+            urls = [l.url for l in city_listings[p0 : p0 + page_size]]
+            pages.append((site.search_url(city, page_no), urls))
+        for _ in range(empty_tail_pages):
+            page_no = len(pages) + 1
+            pages.append((site.search_url(city, page_no), []))
+        site.pages_by_city[city] = pages
+        for page_no in range(1, len(pages) + 1):
+            site.search_pages[pages[page_no - 1][0]] = render_search_html(
+                site, city, page_no
+            )
+        for l in city_listings:
+            site.detail_pages[l.url] = render_detail_html(
+                random.Random(seed * 1_000_003 + l.listing_id), l
+            )
+    return site

@@ -1,0 +1,123 @@
+"""Crawl-equivalence: the Spark frontier pipeline must reproduce the
+reference spider's URL-seen set, canonical crawl order, page-visit
+counts, and per-document interleaved span sequences (SURVEY.md §5.3;
+BASELINE.json input_hint per-row invariant)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fundamental_spark.crawl.runner import CrawlRunner
+from fundamental_spark.synth.reference_sim import simulate_crawl
+from fundamental_spark.synth.site import build_site, web_rows
+
+CANON = ["city", "discovered_on_page", "priority", "page_pos", "url"]
+
+
+def _canon_sim_log(sim):
+    return sorted(
+        [(c, d, p, pos, u) for (u, k, d, p, pos, c) in sim.crawl_log],
+        key=lambda t: t,
+    )
+
+
+def _canon_runner_log(runner):
+    rows = runner.table("crawl_log").select(*CANON).collect()
+    return sorted(
+        [(r["city"], r["discovered_on_page"], r["priority"], r["page_pos"], r["url"]) for r in rows]
+    )
+
+
+def _run(spark, tmp_path, site, spider_type="active", existing=None, **kw):
+    web = spark.createDataFrame(web_rows(site), "url string, html string")
+    runner = CrawlRunner(
+        spark=spark,
+        warehouse_root=str(tmp_path / "wh"),
+        web=web,
+        spider_type=spider_type,
+        **kw,
+    )
+    seeds = [(site.search_url(c, 1), c) for c in site.cities]
+    runner.init(seeds, existing_urls=list(existing or []))
+    runner.run()
+    return runner
+
+
+def _assert_equivalent(runner, sim):
+    # (a) identical URL-seen set (newly discovered this run)
+    spark_seen = {
+        r["url"]
+        for r in runner.table("url_seen").filter("first_seen_wave >= 0").collect()
+    }
+    assert spark_seen == sim.seen_urls
+    # (b) identical canonical crawl order
+    assert _canon_runner_log(runner) == _canon_sim_log(sim)
+    # (c) span-sequence equality per document (kind, text, media_ref, order)
+    docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in runner.table("documents").collect()
+    }
+    assert set(docs) == set(sim.spans_by_doc)
+    for u, expected in sim.spans_by_doc.items():
+        assert docs[u] == expected, f"span mismatch for {u}"
+
+
+def test_active_crawl_full_equivalence(spark, tmp_path):
+    site = build_site(seed=7, cities=("amsterdam", "utrecht"), listings_per_city=40,
+                      page_size=15, empty_tail_pages=4)
+    sim = simulate_crawl(site, "active")
+    runner = _run(spark, tmp_path, site, "active")
+    _assert_equivalent(runner, sim)
+    # empty-page stop: 3 real pages + 3 empty pages visited per city
+    assert sim.pages_visited_by_city == {"amsterdam": 6, "utrecht": 6}
+
+
+def test_active_no_new_stop_with_existing_urls(spark, tmp_path):
+    site = build_site(seed=11, cities=("rotterdam",), listings_per_city=90, page_size=15)
+    pages = site.pages_by_city["rotterdam"]
+    # pages 2..5 entirely pre-seen -> 3 consecutive no-new pages -> stop after page 4
+    existing = set(pages[1][1]) | set(pages[2][1]) | set(pages[3][1]) | set(pages[4][1])
+    sim = simulate_crawl(site, "active", existing_urls=existing)
+    assert sim.pages_visited_by_city == {"rotterdam": 4}
+    runner = _run(spark, tmp_path, site, "active", existing=existing)
+    _assert_equivalent(runner, sim)
+
+
+def test_sold_spider_stops_on_first_no_new_page(spark, tmp_path):
+    site = build_site(seed=13, cities=("leiden",), listings_per_city=60, page_size=15)
+    pages = site.pages_by_city["leiden"]
+    existing = set(pages[1][1])  # page 2 fully seen
+    sim = simulate_crawl(site, "sold", existing_urls=existing)
+    assert sim.pages_visited_by_city == {"leiden": 2}  # the active/sold asymmetry
+    runner = _run(spark, tmp_path, site, "sold", existing=existing)
+    _assert_equivalent(runner, sim)
+
+
+def test_max_pages_gate(spark, tmp_path):
+    site = build_site(seed=17, cities=("delft",), listings_per_city=90, page_size=15)
+    sim = simulate_crawl(site, "active", max_pages=3)
+    assert sim.pages_visited_by_city == {"delft": 3}
+    runner = _run(spark, tmp_path, site, "active", max_pages=3)
+    _assert_equivalent(runner, sim)
+
+
+def test_politeness_budget_caps_waves_but_preserves_result(spark, tmp_path):
+    site = build_site(seed=19, cities=("haarlem",), listings_per_city=25, page_size=10)
+    sim = simulate_crawl(site, "active")
+    # budget = 4 pages per wave (wave_seconds=4s, delay 2s, concurrency 2)
+    runner = _run(spark, tmp_path, site, "active", wave_seconds=4.0)
+    _assert_equivalent(runner, sim)
+    metrics = runner.table("wave_metrics").collect()
+    assert all(m["pages_fetched"] <= 4 for m in metrics)
+    assert len(metrics) > 3  # the cap actually forced extra waves
+
+
+def test_bloom_and_exact_paths_agree(spark, tmp_path):
+    site = build_site(seed=23, cities=("gouda",), listings_per_city=30, page_size=10)
+    pages = site.pages_by_city["gouda"]
+    existing = set(pages[0][1][:5])
+    sim = simulate_crawl(site, "active", existing_urls=existing)
+    r1 = _run(spark, tmp_path / "a", site, "active", existing=existing, use_bloom=True)
+    r2 = _run(spark, tmp_path / "b", site, "active", existing=existing, use_bloom=False)
+    _assert_equivalent(r1, sim)
+    _assert_equivalent(r2, sim)
