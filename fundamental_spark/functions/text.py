@@ -1,0 +1,116 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are JVM column expressions (split/filter/
+aggregate HOFs, regexp) — no Python per row. These run over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (public-knowledge word lists)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it", "that", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "les", "des", "dans"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "von", "zu", "mit"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "op", "te", "met"),
+}
+
+QUALITY_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "de", "la", "el")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the baseline token counter)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish regex segmentation: words, numbers, punctuation runs —
+    the standard pre-tokenizer shape (GPT-2-style regex, public)."""
+    return F.size(
+        F.regexp_extract_all(
+            text, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"), 0
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic: length saturation + low punctuation
+    + stopword presence (natural-language signal). Deterministic,
+    SQL-expressible (oracle twin in queries.py)."""
+    length_part = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_part + 0.3 * (1.0 - punct_ratio(text)) + 0.3 * stopword_ratio(text),
+        4,
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.encode(normalize_text(text), "UTF-8"))
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    def pred(t: Column) -> Column:
+        return t.isin(*words)
+
+    return F.size(F.filter(toks, pred))
+
+
+def langid_scores(text: Column) -> list[Column]:
+    toks = tokens(F.lower(text))
+    out = []
+    for lang, words in LANG_STOPWORDS.items():
+        out.append(_hits(toks, words).alias(f"score_{lang}"))
+    return out
+
+
+def langid(text: Column) -> Column:
+    """Stopword-vote language ID: argmax over per-language hit counts;
+    'und' when nothing matches. Pure JVM expression."""
+    toks = tokens(F.lower(text))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, words in LANG_STOPWORDS.items():
+        hits = _hits(toks, words)
+        cond = hits > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, hits).otherwise(best_score)
+    return best
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+        langid(t).alias("lang_pred"),
+    )

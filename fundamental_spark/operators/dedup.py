@@ -1,0 +1,238 @@
+"""Deduplication operators for training-data pipelines.
+
+All are pure DataFrame plans (no Python in the hot path):
+
+- ``exact_dedup``: hash-groupBy on the normalized-text fingerprint.
+- ``ngram_jaccard_pairs``: exact word n-gram shingle Jaccard via
+  explode → self-join on shingle → |A∩B| / (|A|+|B|−|A∩B|). Quadratic
+  in *colliding* docs only; the shingle join is the classic inverted-
+  index trick, shuffles on shingle not on pair.
+- ``minhash_lsh``: k minhash signatures computed as k min-aggregates of
+  affine-transformed shingle hashes (one shuffle), banded into b bands
+  of r rows; candidate pairs join on (band, band_hash), then verified
+  with exact Jaccard — at scale only candidates pay the pair cost.
+- ``simhash``: 64-bit sign fingerprint from token-frequency-weighted
+  bit votes; near-dup pairs found by the 4×16-bit block-pigeonhole
+  join (hamming ≤ 3 ⇒ at least one equal block), verified by
+  bit_count(xor).
+
+Deterministic throughout: hash constants are fixed (no runtime RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+MERSENNE61 = (1 << 61) - 1
+_A_SEED = 0x9E3779B97F4A7C15
+
+
+def _mh_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine constants (a odd < 2^30, b < 2^30)."""
+    out = []
+    x = _A_SEED
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 34) | 1          # odd, < 2^30
+        b = (x >> 4) % (1 << 30)
+        out.append((a, b))
+    return out
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (0-based array subscripts)."""
+    arr = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(arr) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(arr) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one
+    representative (min id) + member count per group."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ threshold: (doc_a, doc_b, jaccard)."""
+    sh = _shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 64, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """One row per doc with mh0..mh{k-1} — computed as k min-aggregates
+    over shingle hashes (single shuffle on doc id)."""
+    sh = _shingle_table(docs, id_col, text_col, n).withColumn(
+        # bound the base hash to 2^31 so a*h fits int64 under ANSI
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(1 << 31))
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE61))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_constants(k))
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_exact: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs. Candidates collide in ≥1 band of
+    r=k/bands rows; with verify_exact the candidates are confirmed with
+    exact shingle Jaccard (only candidates pay the pair cost)."""
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{band * r + j}") for j in range(r)]).alias(f"band{band}")
+        for band in range(bands)
+    ]
+    banded = sigs.select("doc", *band_cols)
+    stacked = banded.select(
+        "doc",
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    x = stacked.alias("x")
+    y = stacked.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    if not verify_exact:
+        return cands
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
+    return cands.join(exact, ["doc_a", "doc_b"]).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: token-count-weighted bit votes."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("w")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tf.groupBy("doc").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
+    block-pigeonhole join: split 64 bits into max_hamming+1 blocks;
+    any pair within the radius shares ≥1 exact block."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sim = simhash_bits(docs, id_col=id_col, text_col=text_col)
+    blocks = sim.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    xx = blocks.alias("x")
+    yy = blocks.alias("y")
+    cands = (
+        xx.join(
+            yy,
+            (F.col("x.block_idx") == F.col("y.block_idx"))
+            & (F.col("x.block_val") == F.col("y.block_val"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,114 @@
+"""Property status lifecycle: upsert (J2), mark-inactive (J3), history.
+
+Reference semantics (server/internal/database/database.go):
+- InsertProperties (:766-915): per item, url exists? UPDATE : INSERT.
+  On update, if the stored status is 'inactive' and the incoming item
+  is active again, the row transitions to 'republished' and
+  republish_count increments (:786-793). Every insert/update appends a
+  (url, status, price, listing_date) row to property_history
+  (:837-849, 890-902).
+- MarkInactiveProperties (:1252-1323): active rows of a city whose url
+  is NOT in the freshly-crawled URL list become 'inactive' — a
+  left-anti join in set terms (the reference builds a hash map).
+
+Spark-first shape: one MERGE per batch (emulated by the Warehouse via
+full-outer join + snapshot rewrite; Iceberg MERGE INTO on a real
+deployment), one anti-join for mark-inactive. No per-row logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tableformat import Warehouse
+
+PROPERTIES_DDL = (
+    "url string, url_hash bigint, street string, neighborhood string, "
+    "property_type string, city string, postal_code string, price bigint, "
+    "year_built int, living_area int, num_rooms int, status string, "
+    "listing_date date, selling_date date, energy_label string, "
+    "republish_count int, wave int"
+)
+
+HISTORY_DDL = "url string, status string, price bigint, listing_date date, wave int"
+
+
+def _props_schema(spark):
+    return spark.createDataFrame([], PROPERTIES_DDL).schema
+
+
+def upsert_properties(wh: Warehouse, items: DataFrame, wave: int) -> None:
+    """MERGE INTO properties USING items ON url (J2) + history append.
+
+    items: the FundaItem projection (functions.extractors.extract_items)
+    with `item_city` renamed to `city` by the caller or here.
+    """
+    spark = items.sparkSession
+    if "item_city" in items.columns:
+        items = items.withColumnRenamed("item_city", "city")
+    batch = items.select(
+        "url", "url_hash", "street", "neighborhood", "property_type", "city",
+        "postal_code", "price", "year_built", "living_area", "num_rooms",
+        "status", "listing_date", "selling_date", "energy_label",
+        F.lit(0).alias("republish_count"), F.lit(wave).alias("wave"),
+    ).dropDuplicates(["url"])
+
+    schema = _props_schema(spark)
+    # republish transition: inactive target + active incoming ->
+    # status 'republished', republish_count++ (database.go:786-793)
+    republished = (F.col("t.status") == "inactive") & (F.col("b.status") == "active")
+    when_matched = {
+        "status": F.when(republished, F.lit("republished")).otherwise(F.col("b.status")),
+        "republish_count": F.when(
+            republished, F.col("t.republish_count") + 1
+        ).otherwise(F.col("t.republish_count")),
+    }
+    wh.merge_upsert("properties", batch, key="url", schema=schema,
+                    when_matched_update=when_matched)
+
+    # history rows reflect the post-merge status for the batch keys
+    merged = wh.read("properties").join(batch.select("url"), "url", "left_semi")
+    hist = merged.select("url", "status", "price", "listing_date",
+                         F.lit(wave).alias("wave"))
+    wh.append_delta("property_history", hist)
+
+
+def mark_inactive(wh: Warehouse, city: str, refreshed_urls: DataFrame, wave: int) -> int:
+    """Active rows of `city` not present in refreshed_urls(url) ->
+    'inactive' (J3, database.go:1252-1323). Returns #transitioned."""
+    props = wh.read("properties")
+    target = props.filter(
+        (F.lower(F.col("city")) == city.lower()) & (F.col("status") == "active")
+    )
+    stale = target.join(refreshed_urls.select("url"), "url", "left_anti").select("url")
+    n = stale.count()
+    if n == 0:
+        return 0
+    updated = (
+        props.alias("p")
+        .join(stale.withColumn("_stale", F.lit(True)), "url", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_stale"), F.lit("inactive")).otherwise(F.col("status")),
+        )
+        .drop("_stale")
+    )
+    wh.overwrite("properties", updated)
+    hist = (
+        wh.read("properties")
+        .join(stale, "url", "left_semi")
+        .select("url", "status", "price", "listing_date", F.lit(wave).alias("wave"))
+    )
+    wh.append_delta("property_history", hist)
+    return n
+
+
+def previous_price(history: DataFrame) -> DataFrame:
+    """W4/J6 set-based: per url, each history row with its previous price
+    (lag over listing_date, then wave as tiebreak) — replaces the
+    reference's point query LIMIT 1 OFFSET 1 (database.go:1420-1438)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("listing_date", "wave")
+    return history.withColumn("prev_price", F.lag("price").over(w))

@@ -1,0 +1,712 @@
+"""Query registry: every operator shape from SURVEY.md §2 re-expressed
+over the driver's testdata tables, each with an ANSI-SQL twin the
+driver runs in DuckDB (row-count + schema + order-insensitive
+value-hash at sf0.01).
+
+Naming discipline: every computed column is aliased identically in the
+DataFrame plan and the SQL twin. Doubles are ROUNDed identically on
+both sides so FP accumulation order can't flip the hash.
+
+Mapping notes (reference file:line → query):
+  pricing_summary            flagship scan+agg (A1 family)
+  status_weighted_stats      database.go:202-287 weighted recombination
+  prefix_area_stats          database.go:289-334 (A2)
+  group_median               database.go:1216-1249,1326-1417 exact median (A3/A4)
+  recent_topk                database.go:336-381 (O1)
+  region_nation_rollup       database.go:918-964 (J4+A5 GROUP_CONCAT)
+  customers_without_orders   database.go:1252-1323 anti-join shape (J3/J1)
+  segment_with_orders        database.go:1142-1165 semi-join (J8)
+  effective_date_filter      database.go:56-71 status-dependent date (F7)
+  days_to_ship               database.go:211-214 julianday diff (P14)
+  monthly_timeseries         PropertyCharts.tsx:183-233 (A10+J7)
+  price_lag_per_customer     database.go:1420-1438 (W4/J6)
+  topn_per_group             database.go:1342-1347 ROW_NUMBER (W2)
+  regression                 PropertyCharts.tsx:265-284 OLS (A13)
+  group_share_window         database.go:1332 COUNT(*) OVER () (W1)
+  distinct_prefixes          district.go:61-90 (A7)
+  union_distinct_users       funda_spider.py:93-116 set union (O5)
+  quality_range_filter       database.go:1336-1340 (F8) + prefix (F9)
+  json_props_stats           funda_spider.py:96-107 JSON-LD path extraction
+  regex_first_word           funda_spider.py regex ladders (P1-P9 shape)
+plus the training-data operators (dedup / similarity / text analysis)
+the 100 TB pipeline needs (driver instruction; not in the reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.text import (
+    QUALITY_STOPWORDS,
+    fingerprint,
+    langid,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .operators.similarity import brute_force_topk, embedding_near_dup_pairs, lsh_topk
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference operator shapes)
+# ---------------------------------------------------------------------------
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2)                          AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                     AS avg_price,
+           COUNT(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "status_weighted_stats",
+    """
+    WITH parts AS (
+      SELECT COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)  AS active_count,
+             AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS a_avg,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)  AS sold_count,
+             AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS s_avg
+      FROM orders)
+    SELECT active_count, sold_count,
+           ROUND(COALESCE(a_avg, 0), 2) AS avg_active_price,
+           ROUND(COALESCE(s_avg, 0), 2) AS avg_sold_price,
+           ROUND(COALESCE((a_avg * active_count + s_avg * sold_count)
+                          / NULLIF(active_count + sold_count, 0), 0), 2)
+             AS avg_combined_price
+    FROM parts
+    """,
+)
+def status_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    parts = o.agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("active_count"),
+        F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))).alias("a_avg"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("sold_count"),
+        F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias("s_avg"),
+    )
+    total = F.col("active_count") + F.col("sold_count")
+    combined = (
+        F.col("a_avg") * F.col("active_count") + F.col("s_avg") * F.col("sold_count")
+    ) / F.nullif(total, F.lit(0))
+    return parts.select(
+        "active_count",
+        "sold_count",
+        F.round(F.coalesce(F.col("a_avg"), F.lit(0)), 2).alias("avg_active_price"),
+        F.round(F.coalesce(F.col("s_avg"), F.lit(0)), 2).alias("avg_sold_price"),
+        F.round(F.coalesce(combined, F.lit(0)), 2).alias("avg_combined_price"),
+    )
+
+
+@q(
+    "prefix_area_stats",
+    """
+    SELECT SUBSTRING(p_type, 1, 5) AS type_prefix,
+           COUNT(*) AS n,
+           ROUND(AVG(p_retailprice), 2) AS avg_price,
+           ROUND(AVG(p_retailprice / p_size), 2) AS avg_price_per_size
+    FROM part WHERE p_size > 0
+    GROUP BY SUBSTRING(p_type, 1, 5)
+    """,
+)
+def prefix_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") > 0)
+    return p.groupBy(F.substring("p_type", 1, 5).alias("type_prefix")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.round(F.avg(F.col("p_retailprice") / F.col("p_size")), 2).alias(
+            "avg_price_per_size"
+        ),
+    )
+
+
+@q(
+    "group_median",
+    """
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice / l_quantity), 2) AS median_unit_price,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    return (
+        li.select("l_returnflag", unit)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("unit"), 2).alias("median_unit_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "recent_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10
+    """,
+)
+def recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@q(
+    "region_nation_rollup",
+    """
+    SELECT r_name,
+           COUNT(n_name) AS n_nations,
+           COALESCE(STRING_AGG(n_name, ',' ORDER BY n_name), '') AS nations
+    FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(n), r["r_regionkey"] == n["n_regionkey"], "left")
+        .groupBy("r_name")
+        .agg(
+            F.count("n_name").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "segment_with_orders",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def segment_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@q(
+    "effective_date_filter",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE (CASE WHEN o_orderstatus = 'F' THEN l_shipdate ELSE o_orderdate END)
+          BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY o_orderstatus
+    """,
+)
+def effective_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    eff = F.when(F.col("o_orderstatus") == "F", F.col("l_shipdate")).otherwise(
+        F.col("o_orderdate")
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-12-31").cast("timestamp")
+    return (
+        j.filter(eff.between(lo, hi))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@q(
+    "days_to_ship",
+    """
+    SELECT o_orderpriority,
+           ROUND(AVG(DATE_DIFF('day', o_orderdate, l_shipdate)), 2) AS avg_days,
+           COUNT(*) AS n
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.avg(days), 2).alias("avg_days"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "monthly_timeseries",
+    """
+    WITH p AS (
+      SELECT STRFTIME(ts, '%Y-%m') AS month, COUNT(*) AS n_purchases,
+             ROUND(AVG(value), 2) AS avg_purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    v AS (
+      SELECT STRFTIME(ts, '%Y-%m') AS month, COUNT(*) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1)
+    SELECT COALESCE(p.month, v.month) AS month,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           avg_purchase_value,
+           COALESCE(n_views, 0) AS n_views
+    FROM p FULL OUTER JOIN v ON p.month = v.month
+    """,
+)
+def monthly_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    month = F.date_format("ts", "yyyy-MM").alias("month")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(month)
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.avg("value"), 2).alias("avg_purchase_value"),
+        )
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(month)
+        .agg(F.count("*").alias("n_views"))
+    )
+    return (
+        p.alias("p")
+        .join(v.alias("v"), F.col("p.month") == F.col("v.month"), "full_outer")
+        .select(
+            F.coalesce(F.col("p.month"), F.col("v.month")).alias("month"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            F.col("avg_purchase_value"),
+            F.coalesce(F.col("n_views"), F.lit(0)).alias("n_views"),
+        )
+    )
+
+
+@q(
+    "price_lag_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice - prev_price, 2) AS price_change
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS prev_price
+          FROM orders)
+    WHERE prev_price IS NOT NULL
+    """,
+)
+def price_lag_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev_price", F.lag("o_totalprice").over(w))
+        .filter(F.col("prev_price").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") - F.col("prev_price"), 2).alias("price_change"),
+        )
+    )
+
+
+@q(
+    "topn_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@q(
+    "regression",
+    """
+    SELECT ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("slope"),
+        F.round(
+            F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("intercept"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "group_share_window",
+    """
+    SELECT l_returnflag, n, ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
+    FROM (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+    """,
+)
+def group_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
+@q(
+    "distinct_prefixes",
+    "SELECT DISTINCT SUBSTRING(p_type, 1, 8) AS type_prefix, p_brand FROM part",
+)
+def distinct_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "part")
+        .select(F.substring("p_type", 1, 8).alias("type_prefix"), "p_brand")
+        .distinct()
+    )
+
+
+@q(
+    "union_distinct_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.union(b).distinct()
+
+
+@q(
+    "quality_range_filter",
+    """
+    SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 40
+      AND l_extendedprice BETWEEN 1000 AND 50000
+      AND l_returnflag = 'N'
+    """,
+)
+def quality_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 40)
+            & F.col("l_extendedprice").between(1000, 50000)
+            & (F.col("l_returnflag") == "N")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@q(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "regex_first_word",
+    """
+    SELECT regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           COUNT(*) AS n, ROUND(AVG(p_retailprice), 2) AS avg_price
+    FROM part GROUP BY 1
+    """,
+)
+def regex_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return p.groupBy(
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text)
+# ---------------------------------------------------------------------------
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_Q_STOP = ",".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT {_FP_SQL} AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(T(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       SELECT doc_id,
+              unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                      FOR i IN generate_series(1, len(arr)-2)]) AS shingle
+       FROM toks WHERE len(arr) >= 3)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@q(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@q(
+    "ann_brute_force",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos_raw
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_brute_force_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@q(
+    "token_stats",
+    """
+    SELECT lang,
+           SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+               / GREATEST(length(text), 1) AS praw,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x IN ({_Q_STOP}))) * 1.0
+               / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS sraw
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           ROUND(praw, 4) AS punct_ratio,
+           ROUND(sraw, 4) AS stopword_ratio,
+           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.3 * (1.0 - praw) + 0.3 * sraw, 4) AS quality
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@q(
+    "doc_fingerprint_stats",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT {_FP_SQL}) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops: rows-only checks (driver records weaker check)
+# ---------------------------------------------------------------------------
+@q("dedup_minhash_lsh")
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@q("dedup_simhash")
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@q("ann_lsh")
+def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@q("langid_pred")
+def langid_pred_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))

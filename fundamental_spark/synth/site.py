@@ -79,6 +79,7 @@ class Listing:
     price_in_jsonld: bool = True
     area_in_jsonld: bool = True
     energy_in_dd: bool = True  # else only in description text
+    date_in_jsonld: bool = True  # else only 'Aangeboden sinds' Dutch date
 
     @property
     def listing_date(self) -> str:
@@ -121,8 +122,9 @@ def _jsonld_detail(l: Listing) -> str:
             "addressLocality": f"{l.city.capitalize()}, {l.neighborhood}",
         },
         "url": l.url,
-        "datePosted": l.listing_date,
     }
+    if l.date_in_jsonld:
+        obj["datePosted"] = l.listing_date
     if l.price is not None and l.price_in_jsonld:
         obj["offers"] = {"price": l.price, "priceCurrency": "EUR"}
     if l.living_area is not None and l.area_in_jsonld:
@@ -261,6 +263,7 @@ def build_site(
                 price_in_jsonld=rng.random() > 0.3,
                 area_in_jsonld=rng.random() > 0.3,
                 energy_in_dd=rng.random() > 0.3,
+                date_in_jsonld=rng.random() > 0.3,
             )
             city_listings.append(listing)
             site.listings.append(listing)
