@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "frontier_pages_per_sec", "value": <pages/sec>,
+   "unit": "pages/sec", "queries": {name: seconds, ...}, "sf": <sf>,
+   "crawl": {...detail...}, "cpus": N}
+
+- Headline: the north-star crawl metric — frontier URLs processed/sec
+  (pages fetched+parsed through the full wave pipeline: politeness
+  top-k, distributed fetch join, JVM search parse, bloom+exact seen
+  dedup, Arrow span parse, snapshot commits) on a synthetic
+  funda-style site sized by SPARK_GRAFT_SF_DIR's scale factor.
+- Query timings: headline analytic operators at the same sf dir.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Flags: --crawl-only (used by bench_scaling.py), --queries-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def crawl_bench(spark, sf: float, cpus: int) -> dict:
+    from fundamental_spark.crawl.runner import CrawlRunner
+    from fundamental_spark.synth.site import build_site, web_rows
+
+    # size the synthetic frontier by sf: sf0.1 -> 40 cities x 300 listings
+    n_cities = max(2, int(round(400 * sf)))
+    listings = 300 if sf >= 0.05 else 150
+    page_size = 50
+    site = build_site(
+        seed=42,
+        cities=tuple(f"city{i:03d}" for i in range(n_cities)),
+        listings_per_city=listings,
+        page_size=page_size,
+    )
+    web = spark.createDataFrame(web_rows(site), "url string, html string").repartition(
+        cpus
+    ).cache()
+    web.count()  # materialize the web table before the clock starts
+
+    root = tempfile.mkdtemp(prefix="fs_bench_")
+    try:
+        runner = CrawlRunner(
+            spark=spark,
+            warehouse_root=root,
+            web=web,
+            spider_type="active",
+            use_bloom=True,
+        )
+        seeds = [(site.search_url(c, 1), c) for c in site.cities]
+        t0 = time.perf_counter()
+        runner.init(seeds)
+        waves = runner.run(max_waves=100)
+        elapsed = time.perf_counter() - t0
+        metrics = runner.table("wave_metrics").collect()
+        pages = sum(m["pages_fetched"] for m in metrics)
+        docs = runner.table("documents").count()
+        shard_counts: dict[str, int] = {}
+        for m in metrics:
+            for k, v in json.loads(m["shard_counts"]).items():
+                shard_counts[k] = shard_counts.get(k, 0) + v
+        return {
+            "pages": int(pages),
+            "documents": int(docs),
+            "waves": waves,
+            "seconds": round(elapsed, 2),
+            "pages_per_sec": round(pages / elapsed, 2),
+            "shard_fetch_counts": dict(sorted(shard_counts.items(), key=lambda x: int(x[0]))),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "status_weighted_stats",
+    "group_median",
+    "topn_per_group",
+    "monthly_timeseries",
+    "days_to_ship",
+    "regression",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_brute_force",
+    "text_quality",
+]
+
+
+def query_bench(spark, sf_dir: str) -> dict[str, float]:
+    from fundamental_spark.queries import SPARK_QUERIES
+
+    out: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    crawl_only = "--crawl-only" in sys.argv
+    queries_only = "--queries-only" in sys.argv
+
+    from fundamental_spark.session import get_spark
+
+    spark = get_spark(
+        "fundamental-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    result: dict = {"sf": sf, "cpus": cpus}
+    if not queries_only:
+        crawl = crawl_bench(spark, sf, cpus)
+        result.update(
+            metric="frontier_pages_per_sec",
+            value=crawl["pages_per_sec"],
+            unit="pages/sec",
+            crawl=crawl,
+        )
+    if not crawl_only:
+        t0 = time.perf_counter()
+        result["queries"] = query_bench(spark, sf_dir)
+        result["queries_total_sec"] = round(time.perf_counter() - t0, 2)
+    if queries_only:
+        result.update(
+            metric="queries_total_sec",
+            value=result["queries_total_sec"],
+            unit="sec",
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -126,8 +127,11 @@ class CrawlRunner:
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     wave_seconds: float | None = None   # None -> unlimited budget per wave
     use_bloom: bool = True
+    bloom_min_seen: int = 200_000      # below this, broadcast exact anti-join wins
     n_shards: int = DEFAULT_N_SHARDS
+    state_partitions: int = 4          # small-state snapshot files per commit
     wave: int = 0
+    seen_count: int = 0
     city_states: dict[str, CityState] = field(default_factory=dict)
     _versions: dict[str, int] = field(default_factory=dict)
 
@@ -146,6 +150,7 @@ class CrawlRunner:
         state = {
             "wave": self.wave,
             "spider_type": self.spider_type,
+            "seen_count": self.seen_count,
             "versions": self._versions,
             "cities": {
                 c: {
@@ -165,6 +170,7 @@ class CrawlRunner:
         with open(self._ckpt_path()) as f:
             state = json.load(f)
         self.wave = state["wave"]
+        self.seen_count = state.get("seen_count", 0)
         self._versions = state["versions"]
         self.city_states = {
             c: CityState(city=c, **v) for c, v in state["cities"].items()
@@ -178,10 +184,18 @@ class CrawlRunner:
     def _read_deltas(self, name: str) -> DataFrame:
         return self.wh.read_deltas(name, version=self._versions[name])
 
+    SMALL_TABLES = ("frontier", "url_seen", "crawl_log", "wave_metrics")
+
     def _write(self, name: str, df: DataFrame) -> None:
+        if name in self.SMALL_TABLES:
+            # repartition (not coalesce): keeps upstream join parallelism,
+            # bounds snapshot file counts
+            df = df.repartition(self.state_partitions)
         self._versions[name] = self.wh.overwrite(name, df)
 
     def _append_delta(self, name: str, df: DataFrame) -> None:
+        if name in self.SMALL_TABLES:
+            df = df.repartition(self.state_partitions)
         self._versions[name] = self.wh.append_delta(name, df)
 
     # ---- initialization ----------------------------------------------------
@@ -224,6 +238,17 @@ class CrawlRunner:
     # ---- one wave ----------------------------------------------------------
     def step(self) -> bool:
         """Advance one wave. Returns False when the frontier is drained."""
+        debug = bool(os.environ.get("FS_CRAWL_DEBUG"))
+        timings: dict[str, float] = {}
+        _t = time.perf_counter()
+
+        def mark(phase: str) -> None:
+            nonlocal _t
+            if debug:
+                now = time.perf_counter()
+                timings[phase] = round(now - _t, 2)
+                _t = now
+
         wave = self.wave + 1
         frontier = self._read("frontier")
         url_seen = self._read_deltas("url_seen")
@@ -238,11 +263,20 @@ class CrawlRunner:
         if selected.isEmpty():
             selected.unpersist()
             return False
+        mark("select")
 
-        fetched = selected.join(self.web, "url", "left").withColumn(
-            "fetch_ok",
-            F.col("html").isNotNull() & (F.col("attempt") >= F.col("fail_until_attempt")),
-        ).cache()
+        # one fetch join per wave; the cache is columnar so bookkeeping
+        # scans that don't select `html` never deserialize the payload
+        fetched = (
+            selected.join(self.web, "url", "left")
+            .withColumn(
+                "fetch_ok",
+                F.col("html").isNotNull()
+                & (F.col("attempt") >= F.coalesce(F.col("fail_until_attempt"), F.lit(0))),
+            )
+            .cache()
+        )
+        mark("fetch_join")
 
         # --- search pages ---------------------------------------------------
         search_ok = fetched.filter((F.col("kind") == "search") & F.col("fetch_ok"))
@@ -268,11 +302,20 @@ class CrawlRunner:
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
+        # bloom prefilter pays for itself only on huge seen sets; below
+        # the threshold an exact broadcast anti-join is strictly faster
+        use_bloom_now = self.use_bloom and self.seen_count >= self.bloom_min_seen
         new_cands = filter_new_urls(
-            candidates, url_seen, use_bloom=self.use_bloom
+            candidates,
+            url_seen,
+            use_bloom=use_bloom_now,
+            seen_count_hint=max(self.seen_count, 1),
+            broadcast_seen=not use_bloom_now,
         ).cache()
+        mark("seen_filter_def")
 
         # --- per-page stats for stop rules (O(#cities) rows) -----------------
+        _ps0 = time.perf_counter()
         page_stats = {
             (r["city"], r["page_idx"]): r
             for r in parsed.select(
@@ -288,6 +331,8 @@ class CrawlRunner:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        n_new_total = sum(new_counts.values())
+        mark("page_stats_collect")
 
         # --- stop rules + pagination enqueue (sequential semantics) ----------
         next_pages: list[tuple[str, str, int]] = []  # (url, city, page_idx)
@@ -375,12 +420,15 @@ class CrawlRunner:
         )
         new_frontier = untouched.unionByName(transitioned).unionByName(detail_rows)
         self._write("frontier", new_frontier)
+        mark("frontier_write")
 
         # --- seen set ---------------------------------------------------------
         seen_add = new_cands.select(
             "url", "url_hash", "domain_shard", F.lit(wave).alias("first_seen_wave")
         )
         self._append_delta("url_seen", seen_add)
+        self.seen_count += n_new_total
+        mark("url_seen_write")
 
         # --- documents (detail pages -> interleaved spans) --------------------
         detail_ok = fetched.filter((F.col("kind") == "detail") & F.col("fetch_ok"))
@@ -393,6 +441,7 @@ class CrawlRunner:
             "page_pos",
         )
         self._append_delta("documents", docs)
+        mark("documents_write")
 
         # --- lineage -----------------------------------------------------------
         log_rows = fetched.filter(F.col("fetch_ok")).select(
@@ -400,41 +449,42 @@ class CrawlRunner:
             F.lit(wave).alias("wave_fetched"),
         )
         self._append_delta("crawl_log", log_rows)
+        mark("crawl_log_write")
 
-        fetch_summary = (
+        per_shard = (
             fetched.filter(F.col("fetch_ok"))
-            .groupBy("kind", "domain_shard")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )
-        shard_counts: dict[str, int] = {}
-        n_search = n_detail = 0
-        for r in fetch_summary:
-            shard_counts[str(r["domain_shard"])] = (
-                shard_counts.get(str(r["domain_shard"]), 0) + r["n"]
+            .groupBy("domain_shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("kind") == "search", 1)).alias("ns"),
             )
-            if r["kind"] == "search":
-                n_search += r["n"]
-            else:
-                n_detail += r["n"]
-        n_new = sum(new_counts.values())
-        metrics = self.spark.createDataFrame(
-            [
-                (
-                    wave,
-                    n_search + n_detail,
-                    n_search,
-                    n_detail,
-                    n_new,
-                    json.dumps(shard_counts, sort_keys=True),
-                )
-            ],
-            WAVE_METRICS_SCHEMA,
         )
+        metrics = per_shard.agg(
+            F.lit(wave).alias("wave"),
+            F.sum("n").alias("pages_fetched"),
+            F.sum("ns").alias("search_pages"),
+            (F.sum("n") - F.sum("ns")).alias("detail_pages"),
+            F.lit(n_new_total).cast("long").alias("new_listing_urls"),
+            F.to_json(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("domain_shard").cast("string").alias("key"),
+                                F.col("n").alias("value"),
+                            )
+                        )
+                    )
+                )
+            ).alias("shard_counts"),
+        ).select(*[f.name for f in WAVE_METRICS_SCHEMA.fields])
         self._append_delta("wave_metrics", metrics)
+        mark("metrics_write")
 
         self.wave = wave
         self._commit_wave()
+        if debug:
+            print(f"[wave {wave}] " + " ".join(f"{k}={v}" for k, v in timings.items()), flush=True)
         for df in (selected, fetched, parsed, new_cands):
             df.unpersist()
         return True

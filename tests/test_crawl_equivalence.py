@@ -117,7 +117,8 @@ def test_bloom_and_exact_paths_agree(spark, tmp_path):
     pages = site.pages_by_city["gouda"]
     existing = set(pages[0][1][:5])
     sim = simulate_crawl(site, "active", existing_urls=existing)
-    r1 = _run(spark, tmp_path / "a", site, "active", existing=existing, use_bloom=True)
+    r1 = _run(spark, tmp_path / "a", site, "active", existing=existing,
+              use_bloom=True, bloom_min_seen=0)
     r2 = _run(spark, tmp_path / "b", site, "active", existing=existing, use_bloom=False)
     _assert_equivalent(r1, sim)
     _assert_equivalent(r2, sim)
