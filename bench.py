@@ -36,21 +36,28 @@ def _sf_of(sf_dir: str) -> float:
 
 def crawl_bench(spark, sf: float, cpus: int) -> dict:
     from fundamental_spark.crawl.runner import CrawlRunner
-    from fundamental_spark.synth.site import build_site, web_rows
+    from fundamental_spark.synth.site import build_site, spec_web_rows, web_rows
 
     # size the synthetic frontier by sf: sf0.1 -> 40 cities x 300 listings
-    n_cities = max(2, int(round(400 * sf)))
-    listings = 300 if sf >= 0.05 else 150
-    page_size = 50
+    n_cities = int(os.environ.get("FS_BENCH_CITIES", max(2, int(round(400 * sf)))))
+    listings = int(os.environ.get("FS_BENCH_LISTINGS", 300 if sf >= 0.05 else 150))
+    page_size = int(os.environ.get("FS_BENCH_PAGE_SIZE", 50))
+    desc_words = int(os.environ.get("FS_BENCH_DESC_WORDS", 24))
+    exec_render = bool(int(os.environ.get("FS_BENCH_EXEC_RENDER", "0")))
     site = build_site(
         seed=42,
         cities=tuple(f"city{i:03d}" for i in range(n_cities)),
         listings_per_city=listings,
         page_size=page_size,
+        description_words=desc_words,
+        render_details=not exec_render,
     )
-    web = spark.createDataFrame(web_rows(site), "url string, html string").repartition(
-        cpus
-    ).cache()
+    if exec_render:
+        rows, _ = spec_web_rows(site, description_words=desc_words)
+        web = spark.createDataFrame(rows, "url string, html string, spec string")
+    else:
+        web = spark.createDataFrame(web_rows(site), "url string, html string")
+    web = web.repartition(cpus).cache()
     web.count()  # materialize the web table before the clock starts
 
     root = tempfile.mkdtemp(prefix="fs_bench_")
@@ -127,7 +134,7 @@ def main() -> None:
     spark = get_spark(
         "fundamental-spark-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 16),
+        shuffle_partitions=int(os.environ.get("FS_BENCH_SHUFFLE", max(cpus, 16))),
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -53,6 +53,20 @@ from .parse import parse_search_pages, parse_spans_udf
 from .politeness import PolitenessConfig, select_wave
 from .seen import filter_new_urls
 
+
+def _make_render_udf():
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from ..synth.site import render_from_spec
+
+    # lambda form: `from __future__ import annotations` stringifies hints,
+    # which pandas_udf's type-hint inference can't resolve here
+    return pandas_udf(
+        lambda spec: spec.map(lambda x: render_from_spec(x) if x is not None else None),
+        StringType(),
+    )
+
 FRONTIER_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -139,6 +153,11 @@ class CrawlRunner:
         self.wh = Warehouse(self.spark, self.warehouse_root)
         if "fail_until_attempt" not in self.web.columns:
             self.web = self.web.withColumn("fail_until_attempt", F.lit(0))
+        # executor-side page rendering: detail rows may ship as compact
+        # specs (url, spec) rendered inside the fetch stage — the web at
+        # frontier scale never materializes on the driver
+        self._has_spec = "spec" in self.web.columns
+        self._render_udf = _make_render_udf() if self._has_spec else None
         if os.path.exists(self._ckpt_path()):
             self._load_checkpoint()
 
@@ -172,6 +191,10 @@ class CrawlRunner:
         self.wave = state["wave"]
         self.seen_count = state.get("seen_count", 0)
         self._versions = state["versions"]
+        # prune snapshots newer than the pinned versions (mid-wave crash
+        # leaves orphan data commits without a checkpoint commit)
+        for name, v in self._versions.items():
+            self.wh.rollback(name, v)
         self.city_states = {
             c: CityState(city=c, **v) for c, v in state["cities"].items()
         }
@@ -267,9 +290,20 @@ class CrawlRunner:
 
         # one fetch join per wave; the cache is columnar so bookkeeping
         # scans that don't select `html` never deserialize the payload
+        # explicit repartition: AQE's size-based coalescing sees only the
+        # (small) pre-render spec/html bytes at the join and would collapse
+        # the size-expanding render+parse UDFs onto a handful of tasks
         fetched = (
             selected.join(self.web, "url", "left")
-            .withColumn(
+            .repartition(self.spark.sparkContext.defaultParallelism)
+        )
+        if self._has_spec:
+            # render only the rows this wave actually fetches
+            fetched = fetched.withColumn(
+                "html", F.coalesce(F.col("html"), self._render_udf(F.col("spec")))
+            ).drop("spec")
+        fetched = (
+            fetched.withColumn(
                 "fetch_ok",
                 F.col("html").isNotNull()
                 & (F.col("attempt") >= F.coalesce(F.col("fail_until_attempt"), F.lit(0))),
@@ -419,16 +453,11 @@ class CrawlRunner:
             .select(*[f.name for f in FRONTIER_SCHEMA.fields])
         )
         new_frontier = untouched.unionByName(transitioned).unionByName(detail_rows)
-        self._write("frontier", new_frontier)
-        mark("frontier_write")
 
         # --- seen set ---------------------------------------------------------
         seen_add = new_cands.select(
             "url", "url_hash", "domain_shard", F.lit(wave).alias("first_seen_wave")
         )
-        self._append_delta("url_seen", seen_add)
-        self.seen_count += n_new_total
-        mark("url_seen_write")
 
         # --- documents (detail pages -> interleaved spans) --------------------
         detail_ok = fetched.filter((F.col("kind") == "detail") & F.col("fetch_ok"))
@@ -440,16 +469,12 @@ class CrawlRunner:
             "discovered_on_page",
             "page_pos",
         )
-        self._append_delta("documents", docs)
-        mark("documents_write")
 
         # --- lineage -----------------------------------------------------------
         log_rows = fetched.filter(F.col("fetch_ok")).select(
             "url", "kind", "city", "discovered_on_page", "priority", "page_pos",
             F.lit(wave).alias("wave_fetched"),
         )
-        self._append_delta("crawl_log", log_rows)
-        mark("crawl_log_write")
 
         per_shard = (
             fetched.filter(F.col("fetch_ok"))
@@ -478,8 +503,26 @@ class CrawlRunner:
                 )
             ).alias("shard_counts"),
         ).select(*[f.name for f in WAVE_METRICS_SCHEMA.fields])
-        self._append_delta("wave_metrics", metrics)
-        mark("metrics_write")
+
+        # --- commit all five snapshots concurrently ---------------------------
+        # the tables are independent until the checkpoint pins them together,
+        # so their Spark jobs overlap (driver-side threads; Spark schedulers
+        # are thread-safe) — cuts the per-wave fixed overhead ~2-3x
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            ("frontier", self._write, new_frontier),
+            ("url_seen", self._append_delta, seen_add),
+            ("documents", self._append_delta, docs),
+            ("crawl_log", self._append_delta, log_rows),
+            ("wave_metrics", self._append_delta, metrics),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+            futures = [ex.submit(fn, name, df) for (name, fn, df) in writes]
+            for f in futures:
+                f.result()
+        self.seen_count += n_new_total
+        mark("snapshot_writes")
 
         self.wave = wave
         self._commit_wave()

@@ -46,6 +46,8 @@ def upsert_properties(wh: Warehouse, items: DataFrame, wave: int) -> None:
     """
     spark = items.sparkSession
     if "item_city" in items.columns:
+        if "city" in items.columns:  # crawl passthrough; item's own city wins
+            items = items.drop("city")
         items = items.withColumnRenamed("item_city", "city")
     batch = items.select(
         "url", "url_hash", "street", "neighborhood", "property_type", "city",

@@ -1,0 +1,195 @@
+"""Structured Streaming jobs.
+
+The reference's streaming reality is a scheduler ticking spiders whose
+stdout is scanned line-by-line into SQLite upserts + Telegram pushes
+(scheduler.go:97-152, manager.go:122-216). Spark-first translation:
+
+- the crawl runner appends immutable parquet snapshot dirs per wave —
+  a file-source stream (`readStream.parquet`) over the documents table
+  IS the new-item stream (S8): each wave's delta becomes a micro-batch;
+- ``stream_ingest_documents``: foreachBatch -> FundaItem extraction
+  (pure JVM projection) -> MERGE into properties + history append (J2)
+  — exactly-once via the streaming checkpoint + idempotent MERGE (T4);
+- ``stream_new_listing_alerts``: the Telegram notify path (S14/F11) as
+  a filtered side-output of the same stream, buffered to a sink table
+  (transport stubbed — no network in the sandbox);
+- ``stream_event_counts``: event-time windowed aggregation with
+  watermark for late data (the A10 monthly rollup made streaming).
+
+All jobs run with Trigger.AvailableNow for bounded drains (T1) and
+restart cleanly from their checkpoint dir (T5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.extractors import extract_items
+from ..operators.lifecycle import upsert_properties
+from ..tableformat import Warehouse
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "wave int, city string, discovered_on_page int, page_pos int"
+)
+
+
+def documents_stream(spark: SparkSession, warehouse_root: str) -> DataFrame:
+    """File-source stream over the crawl's documents snapshot dirs.
+    Every wave's delta dir arrives as one micro-batch."""
+    path = os.path.join(warehouse_root, "documents", "v*")
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(path)
+    )
+
+
+def stream_ingest_documents(
+    spark: SparkSession,
+    crawl_warehouse_root: str,
+    target_warehouse_root: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the documents stream into the properties table:
+    spans -> FundaItem projection -> MERGE (upsert + republish + history).
+    Exactly-once: checkpoint tracks consumed files; MERGE is idempotent
+    on url, so a replayed batch converges to the same table."""
+    wh = Warehouse(spark, target_warehouse_root)
+    stream = documents_stream(spark, crawl_warehouse_root)
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        items = extract_items(batch)
+        if items.isEmpty():
+            return
+        upsert_properties(wh, items, wave=int(batch_id))
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def new_listing_alert_predicate(
+    min_price: int | None = None,
+    max_price: int | None = None,
+    min_living_area: int | None = None,
+    max_living_area: int | None = None,
+    min_rooms: int | None = None,
+    max_rooms: int | None = None,
+    districts: list[str] | None = None,
+    energy_labels: list[str] | None = None,
+):
+    """F11, server/internal/models/telegram.go:39-124: composed filter;
+    when a bound is set, NULL in that field REJECTS the row."""
+    cond = F.lit(True)
+    if min_price is not None:
+        cond = cond & F.col("price").isNotNull() & (F.col("price") >= min_price)
+    if max_price is not None:
+        cond = cond & F.col("price").isNotNull() & (F.col("price") <= max_price)
+    if min_living_area is not None:
+        cond = cond & F.col("living_area").isNotNull() & (
+            F.col("living_area") >= min_living_area
+        )
+    if max_living_area is not None:
+        cond = cond & F.col("living_area").isNotNull() & (
+            F.col("living_area") <= max_living_area
+        )
+    if min_rooms is not None:
+        cond = cond & F.col("num_rooms").isNotNull() & (F.col("num_rooms") >= min_rooms)
+    if max_rooms is not None:
+        cond = cond & F.col("num_rooms").isNotNull() & (F.col("num_rooms") <= max_rooms)
+    if districts:
+        cond = cond & F.substring("postal_code", 1, 4).isin(*districts)
+    if energy_labels:
+        cond = cond & F.col("energy_label").isNotNull() & F.col("energy_label").isin(
+            *energy_labels
+        )
+    return cond
+
+
+def stream_new_listing_alerts(
+    spark: SparkSession,
+    crawl_warehouse_root: str,
+    alerts_warehouse_root: str,
+    checkpoint_dir: str,
+    **filter_kwargs,
+) -> None:
+    """S14: side-output of accepted new listings to an `alerts` table
+    (the Telegram sendMessage transport is stubbed — sandbox has no
+    network; the message formatting matches telegram.go:133-144)."""
+    wh = Warehouse(spark, alerts_warehouse_root)
+    pred = new_listing_alert_predicate(**filter_kwargs)
+    stream = documents_stream(spark, crawl_warehouse_root)
+
+    def _alert(batch: DataFrame, batch_id: int) -> None:
+        items = extract_items(batch).drop("city").withColumnRenamed("item_city", "city")
+        accepted = items.filter((F.col("status") == "active") & pred).select(
+            "url",
+            "city",
+            "price",
+            "num_rooms",
+            "living_area",
+            "energy_label",
+            F.format_number(F.col("price"), 0).alias("price_formatted"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
+        if accepted.isEmpty():
+            return
+        wh.append_delta("alerts", accepted)
+
+    q = (
+        stream.writeStream.foreachBatch(_alert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    window: str = "30 days",
+    watermark: str = "1 day",
+) -> None:
+    """Event-time windowed aggregation with watermark (late-data
+    handling) over a file-source event stream; append-mode windows
+    finalize once the watermark passes (A10's rollup, streaming)."""
+    reader = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    if os.path.isfile(events_path):  # file source needs a directory
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    ev = reader.parquet(events_path)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -134,8 +134,11 @@ def _jsonld_detail(l: Listing) -> str:
     return json.dumps(obj, separators=(",", ":"), sort_keys=True)
 
 
-def _description(rng: random.Random, l: Listing) -> str:
-    words = [DESCRIPTION_WORDS[rng.randrange(len(DESCRIPTION_WORDS))] for _ in range(24)]
+DESCRIPTION_LEN = 24  # overridable via build_site(description_words=...)
+
+
+def _description(rng: random.Random, l: Listing, n_words: int = 24) -> str:
+    words = [DESCRIPTION_WORDS[rng.randrange(len(DESCRIPTION_WORDS))] for _ in range(n_words)]
     desc = " ".join(words)
     if not l.energy_in_dd and l.energy_label:
         # description-text energy fallback (funda_spider.py:246-257)
@@ -148,7 +151,7 @@ def _fmt_price(price: int) -> str:
     return f"€ {s} k.k."
 
 
-def render_detail_html(rng: random.Random, l: Listing) -> str:
+def render_detail_html(rng: random.Random, l: Listing, description_words: int = 24) -> str:
     """Detail page: interleaved text blocks + media, stable order."""
     parts = [
         "<html><head>",
@@ -160,7 +163,9 @@ def render_detail_html(rng: random.Random, l: Listing) -> str:
     n_photos = 1 + rng.randrange(3)
     for i in range(n_photos):
         parts.append(f'<img src="{BASE}/media/{l.listing_id}_{i}.jpg">')
-    parts.append(f'<p class="object-description-body">{_description(rng, l)}</p>')
+    parts.append(
+        f'<p class="object-description-body">{_description(rng, l, description_words)}</p>'
+    )
     parts.append(f'<img src="{BASE}/media/{l.listing_id}_plattegrond.png">')
     dd: list[tuple[str, str]] = []
     if l.price is not None:
@@ -216,6 +221,51 @@ def web_rows(site: SyntheticSite) -> list[tuple[str, str]]:
     return rows
 
 
+# --- executor-side rendering (large-scale variant) -------------------------
+# at frontier scale the synthetic web can't be materialized on the driver;
+# detail pages ship as compact specs and render inside the fetch stage
+# (standing in for network transfer + decode cost of a real fetch)
+
+_SPEC_FIELDS = (
+    "listing_id", "city", "url", "street", "house_number", "neighborhood",
+    "property_type", "postal_code", "price", "living_area", "num_rooms",
+    "year_built", "energy_label", "listing_date_ord", "status",
+    "selling_date_ord", "price_in_jsonld", "area_in_jsonld", "energy_in_dd",
+    "date_in_jsonld",
+)
+
+
+def listing_spec(l: Listing, seed: int, description_words: int) -> str:
+    d = {f: getattr(l, f) for f in _SPEC_FIELDS}
+    d["seed"] = seed
+    d["description_words"] = description_words
+    return json.dumps(d, separators=(",", ":"))
+
+
+def render_from_spec(spec_json: str) -> str:
+    d = json.loads(spec_json)
+    seed = d.pop("seed")
+    desc_words = d.pop("description_words")
+    l = Listing(**d)
+    return render_detail_html(
+        random.Random(seed * 1_000_003 + l.listing_id), l, desc_words
+    )
+
+
+def spec_web_rows(
+    site: SyntheticSite, description_words: int = 24
+) -> tuple[list[tuple[str, str, str]], int]:
+    """(url, html, spec) rows: search pages carry html, detail pages carry
+    a spec rendered executor-side. Returns (rows, n_detail)."""
+    rows: list[tuple[str, str, str]] = [
+        (u, h, None) for (u, h) in site.search_pages.items()
+    ]
+    for l in site.listings:
+        rows.append((l.url, None, listing_spec(l, site.seed, description_words)))
+    rows.sort(key=lambda r: r[0])
+    return rows, len(site.listings)
+
+
 def build_site(
     seed: int = 42,
     cities: tuple[str, ...] = ("amsterdam", "utrecht"),
@@ -224,6 +274,8 @@ def build_site(
     sold_fraction: float = 0.25,
     null_fraction: float = 0.15,
     empty_tail_pages: int = 0,
+    description_words: int = 24,
+    render_details: bool = True,
 ) -> SyntheticSite:
     """Build the deterministic site. ``empty_tail_pages`` appends pages with
     zero listings after the real ones (exercises the 3-empty-pages stop,
@@ -282,8 +334,9 @@ def build_site(
             site.search_pages[pages[page_no - 1][0]] = render_search_html(
                 site, city, page_no
             )
-        for l in city_listings:
-            site.detail_pages[l.url] = render_detail_html(
-                random.Random(seed * 1_000_003 + l.listing_id), l
-            )
+        if render_details:
+            for l in city_listings:
+                site.detail_pages[l.url] = render_detail_html(
+                    random.Random(seed * 1_000_003 + l.listing_id), l, description_words
+                )
     return site

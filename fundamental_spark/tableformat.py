@@ -137,5 +137,19 @@ class Warehouse:
             merged = joined.select(*out_cols)
         return self._commit(name, merged)
 
+    def rollback(self, name: str, version: int) -> None:
+        """Discard snapshots newer than `version` (orphans from a crash
+        after data write but before checkpoint commit). Iceberg's
+        metadata pointer does this implicitly; the parquet emulation
+        prunes physically so append version ranges stay contiguous."""
+        cur = self.current_version(name)
+        for v in range(version + 1, cur + 1):
+            shutil.rmtree(self._snapshot_dir(name, v), ignore_errors=True)
+        if cur != version:
+            tmp = self._current_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, self._current_path(name))
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)

@@ -1,0 +1,107 @@
+"""Structured Streaming tier: file-stream ingestion of crawled
+documents (foreachBatch MERGE, exactly-once), alert side-output (F11),
+and watermarked windowed aggregation equal to its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fundamental_spark.crawl.runner import CrawlRunner
+from fundamental_spark.functions.extractors import extract_items
+from fundamental_spark.streaming.jobs import (
+    stream_event_counts,
+    stream_ingest_documents,
+    stream_new_listing_alerts,
+)
+from fundamental_spark.synth.site import build_site, web_rows
+from fundamental_spark.tableformat import Warehouse
+
+
+def _crawl(spark, root, site):
+    web = spark.createDataFrame(web_rows(site), "url string, html string")
+    r = CrawlRunner(spark=spark, warehouse_root=str(root), web=web)
+    r.init([(site.search_url(c, 1), c) for c in site.cities])
+    r.run()
+    return r
+
+
+def test_stream_ingest_matches_batch_extraction(spark, tmp_path):
+    site = build_site(seed=43, cities=("tilburg",), listings_per_city=25, page_size=10)
+    r = _crawl(spark, tmp_path / "crawl", site)
+
+    stream_ingest_documents(
+        spark,
+        str(tmp_path / "crawl"),
+        str(tmp_path / "props"),
+        str(tmp_path / "ckpt"),
+    )
+    wh = Warehouse(spark, str(tmp_path / "props"))
+    props = {p["url"]: p for p in wh.read("properties").collect()}
+
+    batch_items = {
+        i["url"]: i for i in extract_items(r.table("documents")).collect()
+    }
+    assert set(props) == set(batch_items)
+    for u, it in batch_items.items():
+        assert props[u]["price"] == it["price"]
+        assert props[u]["status"] == it["status"]
+
+    # restart with same checkpoint: no new files -> no state change
+    v_before = wh.current_version("properties")
+    stream_ingest_documents(
+        spark, str(tmp_path / "crawl"), str(tmp_path / "props"), str(tmp_path / "ckpt")
+    )
+    assert wh.current_version("properties") == v_before
+
+
+def test_stream_alerts_filter(spark, tmp_path):
+    site = build_site(seed=47, cities=("venlo",), listings_per_city=30, page_size=10)
+    _crawl(spark, tmp_path / "crawl", site)
+    stream_new_listing_alerts(
+        spark,
+        str(tmp_path / "crawl"),
+        str(tmp_path / "alerts"),
+        str(tmp_path / "ckpt2"),
+        min_price=200_000,
+        max_price=600_000,
+        min_rooms=2,
+    )
+    wh = Warehouse(spark, str(tmp_path / "alerts"))
+    alerts = wh.read_deltas("alerts").collect()
+    # F11 semantics: bounds enforced, nulls rejected where a bound is set
+    truth = [
+        l for l in site.listings
+        if l.status == "active"
+        and l.price is not None and 200_000 <= l.price <= 600_000
+        and l.num_rooms is not None and l.num_rooms >= 2
+    ]
+    assert {a["url"] for a in alerts} == {l.url for l in truth}
+    assert all("," in a["price_formatted"] for a in alerts)  # telegram.go:133-144
+
+
+def test_stream_event_counts_matches_batch(spark, tmp_path):
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path / "out")
+    stream_event_counts(spark, src, str(tmp_path / "ckpt3"), out, window="30 days",
+                        watermark="1 day")
+    streamed = spark.read.parquet(out)
+    ev = spark.read.parquet(src)
+    batch = (
+        ev.groupBy(F.window("ts", "30 days").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # append mode finalizes only windows fully below the final watermark
+    finalized = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in streamed.collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+        if r["window_start"] is not None
+    }
+    assert len(finalized) > 0
+    for k, v in finalized.items():
+        assert expected[k] == v
