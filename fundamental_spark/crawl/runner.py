@@ -53,6 +53,11 @@ from .parse import parse_search_pages, parse_spans_udf
 from .politeness import PolitenessConfig, select_wave
 from .seen import filter_new_urls
 
+# F3 (funda_spider.py:88-90,190-192): responses whose body carries the
+# bot-verification interstitial are treated as failed fetches and
+# re-enqueued through the retry ledger
+BLOCK_MARKERS = ("Je bent bijna op de pagina die je zoekt", "geverifieerd dat je geen robot")
+
 
 def _make_render_udf():
     from pyspark.sql.functions import pandas_udf
@@ -302,10 +307,14 @@ class CrawlRunner:
             fetched = fetched.withColumn(
                 "html", F.coalesce(F.col("html"), self._render_udf(F.col("spec")))
             ).drop("spec")
+        blocked = F.lit(False)
+        for marker in BLOCK_MARKERS:
+            blocked = blocked | F.coalesce(F.col("html").contains(marker), F.lit(False))
         fetched = (
             fetched.withColumn(
                 "fetch_ok",
                 F.col("html").isNotNull()
+                & ~blocked
                 & (F.col("attempt") >= F.coalesce(F.col("fail_until_attempt"), F.lit(0))),
             )
             .cache()

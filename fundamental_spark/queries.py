@@ -531,6 +531,92 @@ def regex_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
 
 
+@q(
+    "rooms_impact",
+    """
+    SELECT p_size AS rooms, COUNT(*) AS n,
+           ROUND(AVG(p_retailprice), 2) AS avg_price,
+           ROUND(MEDIAN(p_retailprice), 2) AS median_price
+    FROM part WHERE p_size IS NOT NULL AND p_size <= 25
+    GROUP BY p_size
+    """,
+)
+def rooms_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A11, PropertyCharts.tsx:243-254 (rooms<=10 display filter analog)
+    p = T(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull() & (F.col("p_size") <= 25)
+    )
+    return p.groupBy(F.col("p_size").alias("rooms")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.round(F.median("p_retailprice"), 2).alias("median_price"),
+    )
+
+
+@q(
+    "room_premium",
+    """
+    WITH g AS (SELECT p_size AS rooms, AVG(p_retailprice) AS avg_price
+               FROM part WHERE p_size <= 25 GROUP BY p_size)
+    SELECT rooms,
+           ROUND(avg_price - prev_avg, 2) AS premium,
+           ROUND((avg_price - prev_avg) * 100.0 / prev_avg, 2) AS premium_pct
+    FROM (SELECT rooms, avg_price,
+                 LAG(avg_price) OVER (ORDER BY rooms) AS prev_avg FROM g)
+    WHERE prev_avg IS NOT NULL
+    """,
+)
+def room_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A12/W5, PropertyCharts.tsx:257-263: consecutive-group premium
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    g = p.groupBy(F.col("p_size").alias("rooms")).agg(
+        F.avg("p_retailprice").alias("avg_price")
+    )
+    w = Window.orderBy("rooms")
+    return (
+        g.withColumn("prev_avg", F.lag("avg_price").over(w))
+        .filter(F.col("prev_avg").isNotNull())
+        .select(
+            "rooms",
+            F.round(F.col("avg_price") - F.col("prev_avg"), 2).alias("premium"),
+            F.round(
+                (F.col("avg_price") - F.col("prev_avg")) * 100.0 / F.col("prev_avg"), 2
+            ).alias("premium_pct"),
+        )
+    )
+
+
+@q(
+    "heatmap_ranges",
+    """
+    WITH d AS (SELECT p_brand, COUNT(*) AS n,
+                      AVG(p_retailprice) AS avg_price,
+                      MEDIAN(p_retailprice) AS median_price
+               FROM part GROUP BY p_brand)
+    SELECT MIN(ROUND(avg_price, 2)) AS min_avg, MAX(ROUND(avg_price, 2)) AS max_avg,
+           MIN(ROUND(median_price, 2)) AS min_median,
+           MAX(ROUND(median_price, 2)) AS max_median,
+           COUNT(*) AS n_groups
+    FROM d WHERE n >= 3
+    """,
+)
+def heatmap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A14, PriceHeatmap.tsx:239-252: ranges exclude groups with count<3
+    p = T(spark, sf_dir, "part")
+    d = p.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.avg("p_retailprice").alias("avg_price"),
+        F.median("p_retailprice").alias("median_price"),
+    )
+    return d.filter(F.col("n") >= 3).agg(
+        F.min(F.round("avg_price", 2)).alias("min_avg"),
+        F.max(F.round("avg_price", 2)).alias("max_avg"),
+        F.min(F.round("median_price", 2)).alias("min_median"),
+        F.max(F.round("median_price", 2)).alias("max_median"),
+        F.count("*").alias("n_groups"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text)
 # ---------------------------------------------------------------------------

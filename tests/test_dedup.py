@@ -1,0 +1,82 @@
+"""Dedup operators against planted duplicates (exact, near-dup via
+MinHash-LSH and SimHash, n-gram Jaccard)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fundamental_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_bits,
+    simhash_pairs,
+)
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango".split()
+)
+
+
+def _doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(WORDS[rng.randrange(len(WORDS))] for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        rows.append((f"d{i:03d}", _doc(rng)))
+    base = _doc(rng, 80)
+    rows.append(("dup_a", base))
+    rows.append(("dup_b", base))                      # exact dup
+    words = base.split()
+    words[10] = "MUTATED"
+    rows.append(("near_a", " ".join(words)))          # near dup (1 word)
+    rows.append(("caps_a", base.upper()))             # case-normalized dup
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup_groups(planted):
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_dedup(planted).collect()}
+    # dup_a == dup_b == caps_a after normalization -> one group of 3
+    assert groups.get("caps_a") == 3
+    assert sum(groups.values()) == planted.count()
+
+
+def test_ngram_jaccard_finds_planted_pairs(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted, threshold=0.5).collect()
+    }
+    assert pairs[("dup_a", "dup_b")] == 1.0
+    assert ("dup_a", "near_a") in pairs and pairs[("dup_a", "near_a")] > 0.8
+
+
+def test_minhash_lsh_recall_and_estimate(planted):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(planted, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(planted, threshold=0.3).collect()
+    }
+    assert exact  # planted pairs exist
+    assert lsh == exact  # 16 bands x 4 rows: recall 1.0 at j>=0.3 here
+
+
+def test_simhash_hamming(planted, spark):
+    bits = {r["doc"]: r["simhash"] for r in simhash_bits(planted).collect()}
+    assert bits["dup_a"] == bits["dup_b"]  # identical text -> same simhash
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(planted, max_hamming=3).collect()
+    }
+    assert pairs[("dup_a", "dup_b")] == 0
+    assert ("dup_a", "near_a") in pairs  # one-word mutation stays within 3 bits

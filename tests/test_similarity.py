@@ -1,0 +1,68 @@
+"""Similarity search: brute-force exactness, LSH recall, near-dup pairs."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fundamental_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # planted twin: vec 200 nearly equals vec 0
+    base = rows[0][1]
+    rows.append((200, [x + rng.gauss(0, 0.01) for x in base]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"), dim
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(vals[0] - 1.0) < 1e-9
+    assert abs(vals[1]) < 1e-9
+    assert abs(vals[2] - 1 / math.sqrt(2)) < 1e-9
+
+
+def test_brute_force_finds_planted_twin(vectors):
+    emb, _ = vectors
+    res = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in res.collect())
+    assert rows[0] == (1, 200)  # the planted twin is rank 1
+    assert res.count() == 3
+
+
+def test_lsh_recall_vs_brute_force(vectors):
+    emb, dim = vectors
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in
+          brute_force_topk(emb, queries, k=1).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              lsh_topk(emb, queries, k=1, n_planes=6, dim=dim).collect()}
+    # multi-probe LSH recall@1 on gaussian data: expect most top-1s found
+    recall = len(bf & approx) / len(bf)
+    assert recall >= 0.5, (recall, bf, approx)
+
+
+def test_near_dup_pairs_threshold(vectors):
+    emb, _ = vectors
+    pairs = embedding_near_dup_pairs(emb, threshold=0.95)
+    rows = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 200) in rows
+    assert all(a < b for a, b in rows)
