@@ -1,0 +1,71 @@
+"""Physical-plan quality gates (the 100 TB checklist):
+
+- filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema)
+- small-side joins broadcast (no shuffle of the big side)
+- aggregation paths stay inside whole-stage codegen, no Python eval
+  nodes in JVM-only queries
+These are explain()-level checks — they pin the plan shape, not timings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fundamental_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = SPARK_QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan must not read unused columns like l_comment/l_partkey
+    assert "l_partkey" not in plan
+
+
+def test_quality_filter_pushdown(spark):
+    # plan toString truncates the PushedFilters list; assert on prefixes
+    plan = _plan(spark, "quality_range_filter")
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    assert "GreaterThanOrEqual(l" in plan
+    # column pruning to the 3 needed columns
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>" in plan
+
+
+def test_semi_and_anti_joins_broadcast(spark):
+    # customer-side is small at this sf; orders side must hash-join without
+    # a full sort; broadcast is the expected strategy
+    for name in ("customers_without_orders", "segment_with_orders"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_no_python_in_relational_queries(spark):
+    jvm_only = [
+        "pricing_summary", "status_weighted_stats", "group_median",
+        "recent_topk", "monthly_timeseries", "regression", "topn_per_group",
+        "token_stats", "text_quality", "dedup_exact", "json_props_stats",
+    ]
+    for name in jvm_only:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE finalizes the plan on execution; codegen stages show as *(n)
+    df = SPARK_QUERIES["pricing_summary"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "recent_topk")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
