@@ -7,10 +7,10 @@ All are pure DataFrame plans (no Python in the hot path):
   explode → self-join on shingle → |A∩B| / (|A|+|B|−|A∩B|). Quadratic
   in *colliding* docs only; the shingle join is the classic inverted-
   index trick, shuffles on shingle not on pair.
-- ``minhash_lsh``: k minhash signatures computed as k min-aggregates of
-  affine-transformed shingle hashes (one shuffle), banded into b bands
-  of r rows; candidate pairs join on (band, band_hash), then verified
-  with exact Jaccard — at scale only candidates pay the pair cost.
+- ``minhash_lsh``: k minhash signatures computed row-wise (array HOFs,
+  zero shuffle), banded into b bands of r rows; candidate pairs join on
+  (band, band_hash), then verified with exact Jaccard via per-pair
+  array_intersect — only candidates pay the pair cost.
 - ``simhash``: 64-bit sign fingerprint from token-frequency-weighted
   bit votes; near-dup pairs found by the 4×16-bit block-pigeonhole
   join (hamming ≤ 3 ⇒ at least one equal block), verified by
@@ -28,6 +28,17 @@ from ..functions.text import fingerprint
 
 MERSENNE61 = (1 << 61) - 1
 _A_SEED = 0x9E3779B97F4A7C15
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive in 1-2 scan partitions, so heavy
+    row-wise expressions (HOF lambdas are interpreted, not codegen'd)
+    run single-threaded. Spread to the session's parallelism; no-op at
+    scale, where scans already split into ≥cores partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _mh_constants(k: int) -> list[tuple[int, int]]:
@@ -106,17 +117,36 @@ def minhash_signatures(
     docs: DataFrame, k: int = 64, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """One row per doc with mh0..mh{k-1} — computed as k min-aggregates
-    over shingle hashes (single shuffle on doc id)."""
-    sh = _shingle_table(docs, id_col, text_col, n).withColumn(
-        # bound the base hash to 2^31 so a*h fits int64 under ANSI
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(1 << 31))
+    """One row per doc with mh0..mh{k-1} — computed **row-wise** with
+    array HOFs (transform + array_min): zero shuffle, zero explode;
+    the whole signature build stays inside whole-stage codegen. (The
+    previous explode → groupBy(64 min-aggs) plan shuffled the entire
+    shingle table; row-wise is both faster and scale-free.)"""
+    # staged selects: the shingle-hash array materializes ONCE per row
+    # (CollapseProject keeps non-cheap HOF aliases referenced >1×, so the
+    # k mh columns all read the same `hs` attribute instead of embedding
+    # k copies of the shingle pipeline)
+    hashed = (
+        spread(docs).select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), n).alias("sh_arr"),
+        )
+        .filter(F.size("sh_arr") > 0)
+        .select(
+            "doc",
+            F.transform(
+                # bound the base hash to 2^31 so a*h fits int64 under ANSI
+                "sh_arr", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
+            ).alias("hs"),
+        )
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE61))).alias(f"mh{i}")
+    cols = [
+        F.array_min(
+            F.transform("hs", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE61)))
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_mh_constants(k))
     ]
-    return sh.groupBy("doc").agg(*aggs)
+    return hashed.select("doc", *cols)
 
 
 def minhash_lsh_pairs(
@@ -160,15 +190,39 @@ def minhash_lsh_pairs(
     )
     if not verify_exact:
         return cands
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
-    return cands.join(exact, ["doc_a", "doc_b"]).filter(
-        F.col("jaccard") >= threshold
+    # Candidate-proportional verification: join each candidate pair to
+    # the two docs' shingle *arrays* and verify row-wise with
+    # array_intersect — cost ∝ |candidates| × shingles/doc, never
+    # corpus². (The former implementation materialized the full exact-
+    # Jaccard pair table, defeating the LSH; bench showed it slower
+    # than brute force.)
+    arrs = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    )
+    a_sh = arrs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b_sh = arrs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        scored.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
 def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: token-count-weighted bit votes."""
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )

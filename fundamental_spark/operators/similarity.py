@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive in 1-2 scan partitions; heavy row-wise
+    vector expressions (HOF lambdas are interpreted) and cross joins
+    then run single-threaded. Spread to the session's parallelism;
+    no-op at scale where scans already split into ≥cores partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
@@ -53,7 +64,9 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -116,7 +129,7 @@ def lsh_topk(
     hamming-1 probes of the query signature), then exact cosine rank
     within candidates. At corpus scale the bucket join replaces the
     full scan; recall vs brute force is measured in tests."""
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
@@ -156,6 +169,85 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 24,
+    bands: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via banded hyperplane LSH — the 100 TB path.
+
+    Signature of ``n_planes`` sign bits split into ``bands`` bands of
+    r = n_planes/bands bits; candidate pairs collide in ≥1 band
+    (P[caught] = 1-(1-p^r)^b with p = 1-θ/π), then exact-cosine
+    verified. Shuffles on (band, value) — never materializes the cross
+    product; ``embedding_near_dup_pairs`` (all-pairs) is the exact
+    verifier/oracle, this operator is the one that scales. Recall vs
+    the exact pair set is measured in tests/test_similarity.py."""
+    assert n_planes % bands == 0
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    # norms are computed once per row BEFORE the pair join (the join is
+    # a projection barrier), so the per-pair verify is a dot product
+    # plus one scalar divide instead of dot + two array norms.
+    # skinny candidate generation: the band-join branch carries ONLY
+    # (id, band) rows — never the 64-double payload — and the expensive
+    # hyperplane signature is computed exactly once, in that branch;
+    # the vector/norm branch never touches the planes.
+    base = spread(corpus)
+    vd = _to_double(F.col(vec_col))
+    banded = base.select(
+        F.col(id_col).alias("id"),
+        lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+    ).select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), i * r).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = base.select(
+        F.col(id_col).alias("id"), vd.alias("v"), norm(vd).alias("nrm")
+    )
+    scored = (
+        cands.join(
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+            ),
+            "id_b",
+        )
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return scored.select(
+        "id_a", "id_b", F.round(cos, 4).alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -163,9 +255,9 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup dedup).
-    Self-join guarded by id< ordering; at scale the LSH bucketing
-    (lsh_topk's bucket column) prunes the cross product first."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    O(n²) by construction — this is the exact verifier and the DuckDB
+    oracle twin; the scale path is ``embedding_near_dup_lsh_pairs``."""
+    a = spread(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     cos = cosine(F.col("va"), F.col("vb"))

@@ -55,7 +55,12 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from .operators.similarity import brute_force_topk, embedding_near_dup_pairs, lsh_topk
+from .operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_lsh_pairs,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -710,7 +715,8 @@ def ann_brute_force_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_stats",
     """
     SELECT lang,
-           SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+           -- CAST: DuckDB SUM yields HUGEINT (int128); Spark returns bigint
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_chars), 2) AS avg_chars,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang
@@ -792,7 +798,68 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@q("langid_pred")
+@q("ann_lsh_recall")
+def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative check for the approximate path: recall@5 of the
+    hyperplane-LSH top-k against the exact brute-force top-k, emitted
+    as a one-row result (no SQL twin: LSH isn't DuckDB-expressible)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        hit.agg(F.count("*").alias("n_hit"))
+    ).select(
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_5"),
+    )
+
+
+@q("embedding_near_dup_lsh")
+def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: banded hyperplane-LSH candidates
+    + exact-cosine verify (rows-only; the all-pairs twin is the oracle)."""
+    return embedding_near_dup_lsh_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_LANG_HITS = ",\n".join(
+    "       len(list_filter(toks, x -> x IN ({words}))) AS score_{lang}".format(
+        lang=lang, words=",".join(f"'{w}'" for w in words)
+    )
+    for lang, words in (
+        ("en", ("the", "a", "of", "to", "and", "in", "is", "it", "that", "was")),
+        ("es", ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los")),
+        ("fr", ("le", "la", "de", "et", "un", "une", "est", "les", "des", "dans")),
+        ("de", ("der", "die", "das", "und", "ein", "eine", "ist", "von", "zu", "mit")),
+        ("nl", ("de", "het", "een", "en", "van", "is", "dat", "op", "te", "met")),
+    )
+)
+
+
+@q(
+    "langid_pred",
+    f"""
+    WITH s AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id,
+{_LANG_HITS}
+          FROM s),
+    m AS (SELECT *, GREATEST(score_en, score_es, score_fr, score_de, score_nl) AS mx
+          FROM h)
+    SELECT doc_id,
+           CASE WHEN mx <= 0 THEN 'und'
+                WHEN score_en = mx THEN 'en'
+                WHEN score_es = mx THEN 'es'
+                WHEN score_fr = mx THEN 'fr'
+                WHEN score_de = mx THEN 'de'
+                ELSE 'nl' END AS lang_pred
+    FROM m
+    """,
+)
 def langid_pred_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote langid; the SQL twin replicates the sequential
+    argmax (first language reaching the max wins, strict > beats ties)."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))

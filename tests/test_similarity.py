@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from fundamental_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    embedding_near_dup_lsh_pairs,
     embedding_near_dup_pairs,
     lsh_topk,
 )
@@ -66,3 +67,38 @@ def test_near_dup_pairs_threshold(vectors):
     rows = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 200) in rows
     assert all(a < b for a, b in rows)
+
+
+def test_near_dup_lsh_recall_vs_exact(spark):
+    """The banded-LSH near-dup must reproduce the exact all-pairs result
+    on a high-threshold fixture (the regime real near-dup dedup runs in),
+    AND generate far fewer candidates than n²/2 — the pruning claim."""
+    rng = random.Random(7)
+    dim = 32
+    rows = []
+    for i in range(150):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # plant 10 high-cosine twins (cos ≈ 0.99)
+    for j in range(10):
+        base = rows[j][1]
+        rows.append((1000 + j, [x + rng.gauss(0, 0.05) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(exact) >= 10
+    approx = embedding_near_dup_lsh_pairs(
+        emb, threshold=0.9, n_planes=64, bands=8, dim=dim
+    )
+    got = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, (recall, exact - got)
+    # pruning evidence: candidate pairs (pre-verify) << all pairs
+    n = emb.count()
+    cand_cnt = (
+        embedding_near_dup_lsh_pairs(emb, threshold=-1.0, n_planes=64, bands=8, dim=dim)
+        .count()
+    )
+    assert cand_cnt < (n * (n - 1) / 2) * 0.25, cand_cnt
