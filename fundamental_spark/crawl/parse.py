@@ -2,8 +2,9 @@
 
 Search pages (funda_spider.py:84-186) parse **fully JVM-side**: the
 JSON-LD ItemList extraction is regexp_extract + from_json + transform
-(whole-stage codegen, zero Python), the next-page anchor and the CSS
-fallback are regexp extracts. Detail pages parse into interleaved span
+(whole-stage codegen, zero Python); the next-page anchor and the two
+CSS selector sets (always unioned with JSON-LD, as the reference does)
+are regexp extracts with JVM-side relative-href resolution. Detail pages parse into interleaved span
 sequences with ONE vectorized Arrow pandas UDF (the input_hint mandate:
 no per-row Python plan nodes) — HTML is genuinely irregular, so this is
 the one place Python earns its keep.
@@ -27,17 +28,42 @@ def jsonld_blob(html: Column) -> Column:
     return F.regexp_extract(html, _LD_RE, 1)
 
 
-def listing_urls(html: Column) -> Column:
-    """Ordered listing URLs from the JSON-LD ItemList (funda_spider.py:96-107),
-    path-filtered to '/detail/koop/' (:104), with the CSS-selector fallback
-    (:110-116) unioned in when JSON-LD is absent."""
+def listing_urls(
+    html: Column, page_url: Column | None = None, path_filter: str = "/detail/koop/"
+) -> Column:
+    """Listing URLs from a search page, matching funda_spider.py:94-119:
+    the JSON-LD ItemList URLs (:96-107) are ALWAYS unioned with the two
+    CSS-selector href sets (:109-116 — the reference extends, never
+    falls back), relative hrefs resolved against the page URL
+    (response.urljoin), then path-filtered (``/detail/koop/`` for the
+    crawl, the looser ``/koop/`` for refresh mode, :465-477).
+    Deterministic order contract: JSON-LD document order first, then
+    CSS-only URLs in document order (the reference holds them in a
+    Python set; SURVEY.md §3.1 fixes this order as the canonical one).
+    """
     ld = F.from_json(jsonld_blob(html), SEARCH_ITEMS_SCHEMA)
-    from_ld = F.transform(ld["itemListElement"], lambda it: it["url"])
-    css = F.regexp_extract_all(
-        html, F.lit(r'data-test-id="search-result-item"><a href="([^"]+)"'), 1
+    from_ld = F.coalesce(
+        F.transform(ld["itemListElement"], lambda it: it["url"]),
+        F.array().cast("array<string>"),
     )
-    urls = F.when(F.size(from_ld) > 0, from_ld).otherwise(css)
-    return F.filter(urls, lambda u: u.contains("/detail/koop/"))
+    # one alternation regex: both selector shapes in DOCUMENT order
+    # (two separate extracts would concatenate, losing interleaving)
+    css = F.regexp_extract_all(
+        html,
+        F.lit(
+            r'(?:data-test-id="search-result-item"'
+            r'|class="search-result__header-title-col")><a href="([^"]+)"'
+        ),
+        1,
+    )
+    if page_url is not None:
+        origin = F.regexp_extract(page_url, r"^(https?://[^/]+)", 1)
+        css = F.transform(
+            css,
+            lambda u: F.when(u.startswith("http"), u).otherwise(F.concat(origin, u)),
+        )
+    urls = F.array_union(from_ld, css)
+    return F.filter(urls, lambda u: u.contains(path_filter))
 
 
 def next_page_url(html: Column) -> Column:
@@ -45,13 +71,15 @@ def next_page_url(html: Column) -> Column:
     return F.when(u == "", F.lit(None).cast("string")).otherwise(u)
 
 
-def parse_search_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def parse_search_pages(
+    pages: DataFrame, html_col: str = "html", path_filter: str = "/detail/koop/"
+) -> DataFrame:
     """pages(+html) -> one row per page with ordered candidate listing
     urls and the next-page url. Downstream: posexplode(listing_urls)."""
     h = F.col(html_col)
-    return pages.withColumn("listing_urls", listing_urls(h)).withColumn(
-        "next_page", next_page_url(h)
-    )
+    return pages.withColumn(
+        "listing_urls", listing_urls(h, F.col("url"), path_filter)
+    ).withColumn("next_page", next_page_url(h))
 
 
 # ---------------------------------------------------------------------------

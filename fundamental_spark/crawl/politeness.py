@@ -42,18 +42,27 @@ class PolitenessConfig:
         return max(1, math.floor(wave_seconds / self.crawl_delay_s * self.max_concurrency))
 
 
-def select_wave(pending: DataFrame, budget: int | None) -> DataFrame:
-    """Take the next ≤budget frontier rows in canonical order.
+def select_wave(
+    pending: DataFrame, budget: int | None, n_domains: int | None = None
+) -> DataFrame:
+    """Take the next ≤budget frontier rows in canonical order, budget
+    applied PER DOMAIN.
 
-    Single-domain case (the reference's world): global top-k. With many
-    domains the same call runs per-domain via a rank window partitioned
-    by ``domain`` — partitions are independent so no hot key.
+    Single-domain case (the reference's world): global top-k —
+    TakeOrderedAndProject, no global sort. With many domains the same
+    call runs per-domain via a rank window partitioned by ``domain`` —
+    partitions are independent so no hot key. ``n_domains`` is the
+    caller's count of domains present in the frontier (the CrawlRunner
+    maintains it incrementally from seeds + discovered candidates);
+    None derives it from the data with a countDistinct — correct but
+    a full pending scan, so callers that know should say.
     """
     ordered = [F.col(c) for c in CANONICAL_ORDER]
     if budget is None:
         return pending
-    n_domains = 1  # reference crawls exactly one host (funda_spider.py:13)
-    if n_domains == 1:
+    if n_domains is None:
+        n_domains = pending.select("domain").distinct().count()
+    if n_domains <= 1:
         return pending.orderBy(*ordered).limit(budget)
     from pyspark.sql import Window
 

@@ -53,10 +53,12 @@ from .parse import parse_search_pages, parse_spans_udf
 from .politeness import PolitenessConfig, select_wave
 from .seen import filter_new_urls
 
-# F3 (funda_spider.py:88-90,190-192): responses whose body carries the
-# bot-verification interstitial are treated as failed fetches and
-# re-enqueued through the retry ledger
-BLOCK_MARKERS = ("Je bent bijna op de pagina die je zoekt", "geverifieerd dat je geen robot")
+# F3 (funda_spider.py:88-90,190-192): a 200 response whose body carries
+# the bot-verification interstitial is DROPPED permanently — the
+# reference returns without yielding and Scrapy retries only the HTTP
+# codes in RETRY_HTTP_CODES, so no retry. (Only this one marker appears
+# in the reference.)
+BLOCK_MARKERS = ("Je bent bijna op de pagina die je zoekt",)
 
 
 def _make_render_udf():
@@ -152,6 +154,8 @@ class CrawlRunner:
     wave: int = 0
     seen_count: int = 0
     city_states: dict[str, CityState] = field(default_factory=dict)
+    seed_urls: dict[str, str] = field(default_factory=dict)
+    domains: set[str] = field(default_factory=set)
     _versions: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -175,6 +179,8 @@ class CrawlRunner:
             "wave": self.wave,
             "spider_type": self.spider_type,
             "seen_count": self.seen_count,
+            "seed_urls": self.seed_urls,
+            "domains": sorted(self.domains),
             "versions": self._versions,
             "cities": {
                 c: {
@@ -195,6 +201,8 @@ class CrawlRunner:
             state = json.load(f)
         self.wave = state["wave"]
         self.seen_count = state.get("seen_count", 0)
+        self.seed_urls = state.get("seed_urls", {})
+        self.domains = set(state.get("domains", []))
         self._versions = state["versions"]
         # prune snapshots newer than the pinned versions (mid-wave crash
         # leaves orphan data commits without a checkpoint commit)
@@ -260,6 +268,16 @@ class CrawlRunner:
         self._write("crawl_log", spark.createDataFrame([], CRAWL_LOG_SCHEMA))
         self._write("wave_metrics", spark.createDataFrame([], WAVE_METRICS_SCHEMA))
         self.city_states = {city: CityState(city=city) for (_, city) in seeds}
+        # base search URL per city — the manual ?page=N pagination
+        # fallback (funda_spider.py:172-184) appends to this
+        self.seed_urls = {city: url for (url, city) in seeds}
+        import re as _re
+
+        self.domains = {
+            m.group(1)
+            for (url, _) in seeds
+            if (m := _re.match(r"^https?://([^/]+)/", url))
+        }
         self.wave = 0
         self._commit_wave()
 
@@ -287,7 +305,9 @@ class CrawlRunner:
             if self.wave_seconds is None
             else self.politeness.wave_budget(self.wave_seconds)
         )
-        selected = select_wave(pending, budget).cache()
+        selected = select_wave(
+            pending, budget, n_domains=max(len(self.domains), 1)
+        ).cache()
         if selected.isEmpty():
             selected.unpersist()
             return False
@@ -310,12 +330,21 @@ class CrawlRunner:
         blocked = F.lit(False)
         for marker in BLOCK_MARKERS:
             blocked = blocked | F.coalesce(F.col("html").contains(marker), F.lit(False))
+        # outcome classes, matching the reference's Scrapy stack:
+        #   fetch_ok  — 200 with a real body
+        #   retryable — transient HTTP failure (RETRY_HTTP_CODES); the
+        #               synthetic web models these as fail_until_attempt
+        #   dropped   — 404 (URL not in the web table) or the bot
+        #               interstitial body: permanent, never retried
+        fail_until = F.coalesce(F.col("fail_until_attempt"), F.lit(0))
         fetched = (
             fetched.withColumn(
                 "fetch_ok",
-                F.col("html").isNotNull()
-                & ~blocked
-                & (F.col("attempt") >= F.coalesce(F.col("fail_until_attempt"), F.lit(0))),
+                F.col("html").isNotNull() & ~blocked & (F.col("attempt") >= fail_until),
+            )
+            .withColumn(
+                "retryable",
+                F.col("html").isNotNull() & ~blocked & (F.col("attempt") < fail_until),
             )
             .cache()
         )
@@ -375,6 +404,12 @@ class CrawlRunner:
             .collect()
         }
         n_new_total = sum(new_counts.values())
+        # per-domain politeness bookkeeping: newly discovered domains
+        # join the budget partitioning from the next wave on (wave-sized
+        # distinct over the cached new_cands — O(#domains) rows back)
+        self.domains.update(
+            r["domain"] for r in new_cands.select("domain").distinct().collect()
+        )
         mark("page_stats_collect")
 
         # --- stop rules + pagination enqueue (sequential semantics) ----------
@@ -385,7 +420,12 @@ class CrawlRunner:
             n_new = new_counts.get((city, page_idx), 0)
             if n_listings == 0:
                 st.consecutive_empty += 1
-                st.consecutive_no_new += 1
+                if self.spider_type == "active":
+                    # the active spider's no-new check also fires on empty
+                    # pages (funda_spider.py:139-145 falls through); the
+                    # sold spider's fires only on non-empty pages
+                    # (funda_spider_sold.py:139-141)
+                    st.consecutive_no_new += 1
             else:
                 st.consecutive_empty = 0
                 if n_new == 0:
@@ -397,11 +437,15 @@ class CrawlRunner:
                 st.consecutive_empty >= 3
                 or st.consecutive_no_new >= no_new_threshold
                 or page_idx >= self.max_pages
-                or r["next_page"] is None
             ):
                 st.stopped = True
             elif not st.stopped:
-                next_pages.append((r["next_page"], city, page_idx + 1))
+                # next button if present, else the manual ?page=N
+                # construction (funda_spider.py:172-184 — a missing
+                # button never stops the crawl; a past-the-end manual
+                # page 404s and is dropped without retry)
+                nxt = r["next_page"] or f"{self.seed_urls[city]}&page={page_idx + 1}"
+                next_pages.append((nxt, city, page_idx + 1))
 
         # --- build new frontier rows -----------------------------------------
         detail_rows = new_cands.select(
@@ -443,6 +487,7 @@ class CrawlRunner:
         outcome = fetched.select(
             "url",
             F.col("fetch_ok"),
+            F.col("retryable"),
             (F.col("attempt") + 1).alias("next_attempt"),
         )
         untouched = frontier.join(selected.select("url"), "url", "left_anti")
@@ -453,7 +498,8 @@ class CrawlRunner:
                 "state",
                 F.when(F.col("fetch_ok"), F.lit("fetched"))
                 .when(
-                    F.col("next_attempt") <= F.lit(self.politeness.retry_times),
+                    F.col("retryable")
+                    & (F.col("next_attempt") <= F.lit(self.politeness.retry_times)),
                     F.lit("pending"),
                 )
                 .otherwise(F.lit("dropped")),

@@ -31,7 +31,7 @@ import json
 from dataclasses import dataclass
 from html.parser import HTMLParser
 
-from .site import SyntheticSite
+from .site import BLOCK_MARKER, SyntheticSite
 
 PRIORITY_SEED = 0
 PRIORITY_DETAIL = 1
@@ -97,8 +97,10 @@ class _SearchParser(HTMLParser):
         super().__init__()
         self.jsonld: str | None = None
         self.next_page: str | None = None
+        self.css_hrefs: list[str] = []
         self._in_ld = False
         self._buf: list[str] = []
+        self._css_div = False
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
@@ -107,6 +109,16 @@ class _SearchParser(HTMLParser):
             self._buf = []
         elif tag == "a" and a.get("data-test-id") == "next-page-button":
             self.next_page = a.get("href")
+        elif tag == "div" and (
+            a.get("data-test-id") == "search-result-item"
+            or a.get("class") == "search-result__header-title-col"
+        ):
+            # the two CSS selector shapes the reference reads
+            # (funda_spider.py:109-111)
+            self._css_div = True
+        elif tag == "a" and self._css_div and a.get("href"):
+            self.css_hrefs.append(a["href"])
+            self._css_div = False
 
     def handle_data(self, data):
         if self._in_ld:
@@ -116,9 +128,18 @@ class _SearchParser(HTMLParser):
         if tag == "script" and self._in_ld:
             self.jsonld = "".join(self._buf)
             self._in_ld = False
+        elif tag == "div":
+            self._css_div = False
 
 
-def extract_search(html: str) -> tuple[list[str], str | None]:
+def extract_search(
+    html: str, page_url: str = "", path_filter: str = "/detail/koop/"
+) -> tuple[list[str], str | None]:
+    """JSON-LD URLs ALWAYS unioned with the CSS hrefs (urljoin'd), as the
+    reference does (funda_spider.py:94-119); deterministic order is
+    JSON-LD document order first, then CSS-only hrefs in document order."""
+    from urllib.parse import urljoin
+
     p = _SearchParser()
     p.feed(html)
     urls: list[str] = []
@@ -126,8 +147,12 @@ def extract_search(html: str) -> tuple[list[str], str | None]:
         data = json.loads(p.jsonld)
         for item in data.get("itemListElement", []):
             u = item.get("url")
-            if u and "/detail/koop/" in u:
+            if u and path_filter in u and u not in urls:
                 urls.append(u)
+    for href in p.css_hrefs:
+        u = urljoin(page_url, href) if page_url else href
+        if path_filter in u and u not in urls:
+            urls.append(u)
     return urls, p.next_page
 
 
@@ -163,16 +188,26 @@ def simulate_crawl(
         consecutive_no_new = 0
         page = 1
         url = site.search_url(city, 1)
-        log.append((url, "search", 0, PRIORITY_SEED, 0, city))
         while True:
             html = site.fetch(url)
             if html is None:
+                # manual/next page past the end of the site: a 404 the
+                # reference's Scrapy stack drops without retry
                 break
             pages_by_city[city] = page
-            urls, next_page = extract_search(html)
+            log.append(
+                (url, "search", max(page - 1, 0),
+                 PRIORITY_SEED if page == 1 else PRIORITY_PAGINATION, 0, city)
+            )
+            urls, next_page = extract_search(html, page_url=url)
             if not urls:
                 consecutive_empty += 1
-                consecutive_no_new += 1
+                if spider_type == "active":
+                    # the active spider's no-new check also fires on empty
+                    # pages (funda_spider.py:139-145 falls through); the
+                    # sold spider's fires only on non-empty pages
+                    # (funda_spider_sold.py:139-141)
+                    consecutive_no_new += 1
             else:
                 consecutive_empty = 0
                 new = [
@@ -187,21 +222,23 @@ def simulate_crawl(
                         continue
                     processed.add(u)
                     seen.add(u)
-                    log.append((u, "detail", page, PRIORITY_DETAIL, pos, city))
                     dhtml = site.fetch(u)
-                    if dhtml is not None:
+                    # bot-verification interstitial: dropped permanently
+                    # without retry (funda_spider.py:190-192)
+                    if dhtml is not None and BLOCK_MARKER not in dhtml:
+                        log.append((u, "detail", page, PRIORITY_DETAIL, pos, city))
                         spans[u] = parse_spans(dhtml)
             stop = (
                 consecutive_empty >= empty_threshold
                 or consecutive_no_new >= no_new_threshold
                 or page >= max_pages
-                or next_page is None
             )
             if stop:
                 break
+            # next button if present, else the manual ?page=N construction
+            # (funda_spider.py:172-184 — missing button never stops a crawl)
+            url = next_page or f"{site.search_url(city, 1)}&page={page + 1}"
             page += 1
-            url = next_page
-            log.append((url, "search", page - 1, PRIORITY_PAGINATION, 0, city))
 
     return SimResult(
         crawl_log=log,

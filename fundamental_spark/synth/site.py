@@ -109,6 +109,12 @@ class SyntheticSite:
         suffix = "" if page == 1 else f"&search_result={page}"
         return f"{BASE}/zoeken/koop?selected_area={area}&sort=date_down{suffix}"
 
+    def manual_url(self, city: str, page: int) -> str:
+        """The manually-constructed pagination URL shape the reference
+        falls back to when the next button is absent (funda_spider.py:
+        172-184): base search params + page=N."""
+        return f"{self.search_url(city, 1)}&page={page}"
+
     def fetch(self, url: str) -> str | None:
         return self.search_pages.get(url) or self.detail_pages.get(url)
 
@@ -189,28 +195,57 @@ def render_detail_html(rng: random.Random, l: Listing, description_words: int = 
     return "".join(parts)
 
 
-def render_search_html(site: SyntheticSite, city: str, page: int) -> str:
+def render_search_html(
+    site: SyntheticSite,
+    city: str,
+    page: int,
+    include_jsonld: bool = True,
+    relative_css: bool = False,
+    include_next: bool | None = None,
+) -> str:
+    """Search page. Knobs exercise the reference's extraction paths:
+    ``include_jsonld=False`` -> CSS-only page (funda_spider.py:109-116
+    is the only URL source); ``relative_css`` -> hrefs need urljoin;
+    anchors alternate between the two CSS selector shapes the reference
+    reads; ``include_next=False`` -> next button absent mid-sequence
+    (the manual ?page=N construction fallback, :172-184)."""
     pages = site.pages_by_city[city]
     _, urls = pages[page - 1]
-    items = [
-        {"@type": "ListItem", "position": i + 1, "url": u} for i, u in enumerate(urls)
-    ]
-    ld = json.dumps(
-        {"@type": "ItemList", "itemListElement": items}, separators=(",", ":")
-    )
-    parts = [
-        "<html><head>",
-        f'<script type="application/ld+json">{ld}</script>',
-        "</head><body>",
-    ]
-    for u in urls:
-        parts.append(f'<div data-test-id="search-result-item"><a href="{u}"></a></div>')
-    if page < len(pages):
+    parts = ["<html><head>"]
+    if include_jsonld:
+        items = [
+            {"@type": "ListItem", "position": i + 1, "url": u}
+            for i, u in enumerate(urls)
+        ]
+        ld = json.dumps(
+            {"@type": "ItemList", "itemListElement": items}, separators=(",", ":")
+        )
+        parts.append(f'<script type="application/ld+json">{ld}</script>')
+    parts.append("</head><body>")
+    for i, u in enumerate(urls):
+        href = u[len(BASE):] if relative_css else u
+        if i % 2 == 0:
+            parts.append(
+                f'<div data-test-id="search-result-item"><a href="{href}"></a></div>'
+            )
+        else:
+            parts.append(
+                f'<div class="search-result__header-title-col"><a href="{href}"></a></div>'
+            )
+    if include_next is None:
+        include_next = page < len(pages)
+    if include_next and page < len(pages):
         parts.append(
             f'<a data-test-id="next-page-button" href="{site.search_url(city, page + 1)}">Volgende</a>'
         )
     parts.append("</body></html>")
     return "".join(parts)
+
+
+# the bot-verification interstitial body (funda_spider.py:190-192) — a
+# 200 response the reference drops permanently without retry
+BLOCK_MARKER = "Je bent bijna op de pagina die je zoekt"
+BLOCKED_HTML = f"<html><body><p>{BLOCK_MARKER}</p></body></html>"
 
 
 def web_rows(site: SyntheticSite) -> list[tuple[str, str]]:
@@ -276,10 +311,20 @@ def build_site(
     empty_tail_pages: int = 0,
     description_words: int = 24,
     render_details: bool = True,
+    css_only_pages: tuple[int, ...] = (),
+    relative_css: bool = False,
+    omit_next_button_pages: tuple[int, ...] = (),
+    manual_aliases: bool = True,
+    blocked_listing_every: int = 0,
 ) -> SyntheticSite:
     """Build the deterministic site. ``empty_tail_pages`` appends pages with
     zero listings after the real ones (exercises the 3-empty-pages stop,
-    funda_spider.py:39-40,127-135)."""
+    funda_spider.py:39-40,127-135). ``css_only_pages`` renders those page
+    numbers without JSON-LD (CSS selectors become the only URL source);
+    ``omit_next_button_pages`` drops the next button there (crawlers must
+    fall back to the manual ?page=N URL, which ``manual_aliases``
+    registers for every page ≥2); ``blocked_listing_every`` replaces
+    every Nth listing's detail page with the bot interstitial."""
     rng = random.Random(seed)
     site = SyntheticSite(seed=seed, cities=list(cities), page_size=page_size)
     lid = 0
@@ -331,12 +376,27 @@ def build_site(
             pages.append((site.search_url(city, page_no), []))
         site.pages_by_city[city] = pages
         for page_no in range(1, len(pages) + 1):
-            site.search_pages[pages[page_no - 1][0]] = render_search_html(
-                site, city, page_no
+            html = render_search_html(
+                site,
+                city,
+                page_no,
+                include_jsonld=page_no not in css_only_pages,
+                relative_css=relative_css,
+                include_next=(
+                    False if page_no in omit_next_button_pages else None
+                ),
             )
+            site.search_pages[pages[page_no - 1][0]] = html
+            if manual_aliases and page_no >= 2:
+                site.search_pages[site.manual_url(city, page_no)] = html
         if render_details:
-            for l in city_listings:
-                site.detail_pages[l.url] = render_detail_html(
-                    random.Random(seed * 1_000_003 + l.listing_id), l, description_words
+            for j, l in enumerate(city_listings):
+                blocked = blocked_listing_every and (j % blocked_listing_every == blocked_listing_every - 1)
+                site.detail_pages[l.url] = (
+                    BLOCKED_HTML
+                    if blocked
+                    else render_detail_html(
+                        random.Random(seed * 1_000_003 + l.listing_id), l, description_words
+                    )
                 )
     return site

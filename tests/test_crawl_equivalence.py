@@ -112,6 +112,63 @@ def test_politeness_budget_caps_waves_but_preserves_result(spark, tmp_path):
     assert len(metrics) > 3  # the cap actually forced extra waves
 
 
+def test_manual_pagination_when_next_button_absent(spark, tmp_path):
+    """Missing next-page button mid-sequence: both crawlers must fall
+    back to the manually-constructed ?page=N URL and keep paginating
+    (funda_spider.py:172-184) instead of stopping."""
+    site = build_site(seed=29, cities=("arnhem",), listings_per_city=75,
+                      page_size=15, omit_next_button_pages=(2, 3))
+    sim = simulate_crawl(site, "active")
+    assert sim.pages_visited_by_city == {"arnhem": 5}  # crawl survives the gap
+    runner = _run(spark, tmp_path, site, "active")
+    _assert_equivalent(runner, sim)
+
+
+def test_css_only_and_relative_hrefs(spark, tmp_path):
+    """Pages without JSON-LD: the CSS selector hrefs (both shapes, some
+    relative) are the only URL source; the reference unions them in
+    (funda_spider.py:109-116), so the listings must still be crawled."""
+    site = build_site(seed=31, cities=("breda",), listings_per_city=60,
+                      page_size=15, css_only_pages=(2, 3), relative_css=True)
+    sim = simulate_crawl(site, "active")
+    # listings on the CSS-only pages were found
+    assert len(sim.seen_urls) == 60
+    runner = _run(spark, tmp_path, site, "active")
+    _assert_equivalent(runner, sim)
+
+
+def test_sold_spider_tolerates_empty_pages(spark, tmp_path):
+    """Sold spider: empty pages feed ONLY the 3-consecutive-empty rule;
+    the immediate no-new stop applies to non-empty pages alone
+    (funda_spider_sold.py:129-141)."""
+    site = build_site(seed=37, cities=("zwolle",), listings_per_city=30,
+                      page_size=15, empty_tail_pages=4)
+    sim = simulate_crawl(site, "sold")
+    # 2 real pages + 3 empty pages (empty-rule stop), NOT a stop at the
+    # first empty page
+    assert sim.pages_visited_by_city == {"zwolle": 5}
+    runner = _run(spark, tmp_path, site, "sold")
+    _assert_equivalent(runner, sim)
+
+
+def test_blocked_interstitial_dropped_without_retry(spark, tmp_path):
+    """Bot-verification bodies are dropped permanently (funda_spider.py:
+    190-192): no document row, no crawl_log row, no retry attempts —
+    but the URL still enters the seen set."""
+    site = build_site(seed=41, cities=("almere",), listings_per_city=30,
+                      page_size=15, blocked_listing_every=5)
+    sim = simulate_crawl(site, "active")
+    runner = _run(spark, tmp_path, site, "active")
+    _assert_equivalent(runner, sim)
+    assert len(sim.seen_urls) == 30            # blocked URLs still seen
+    assert len(sim.spans_by_doc) == 24         # 6 of 30 blocked
+    frontier = runner.table("frontier")
+    dropped = frontier.filter("state = 'dropped' AND kind = 'detail'")
+    # dropped exactly once: attempt stays at 1 (no retry ledger loop)
+    rows = dropped.select("attempt").collect()
+    assert len(rows) == 6 and all(r["attempt"] == 1 for r in rows)
+
+
 def test_bloom_and_exact_paths_agree(spark, tmp_path):
     site = build_site(seed=23, cities=("gouda",), listings_per_city=30, page_size=10)
     pages = site.pages_by_city["gouda"]
