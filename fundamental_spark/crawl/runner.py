@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 )
 
 from ..tableformat import Warehouse
-from . import PRIORITY_DETAIL, PRIORITY_PAGINATION, PRIORITY_SEED
+from . import PRIORITY_DETAIL, PRIORITY_PAGINATION, PRIORITY_REFRESH, PRIORITY_SEED
 from .canonical import DEFAULT_N_SHARDS, with_url_keys
 from .parse import parse_search_pages, parse_spans_udf
 from .politeness import PolitenessConfig, select_wave
@@ -118,6 +118,15 @@ CRAWL_LOG_SCHEMA = StructType(
     ]
 )
 
+REFRESHED_URLS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("city", StringType()),
+        StructField("found_on_page", IntegerType()),
+        StructField("wave", IntegerType()),
+    ]
+)
+
 WAVE_METRICS_SCHEMA = StructType(
     [
         StructField("wave", IntegerType()),
@@ -144,6 +153,13 @@ class CrawlRunner:
     warehouse_root: str
     web: DataFrame                      # synthetic web: (url, html[, fail_until_attempt])
     spider_type: str = "active"         # active: no-new stop at 3; sold: at 1
+    # 'crawl' = the full frontier pipeline; 'refresh' = the reference's
+    # weekly URL-collection pass (funda_spider.py:455-528): search pages
+    # only, looser '/koop/' path filter, NO seen filtering, NO detail
+    # fetches, NO stop counters and NO manual pagination fallback —
+    # collected URLs land in the refreshed_urls table and feed
+    # lifecycle.mark_inactive (scheduler.go:214-254)
+    mode: str = "crawl"
     max_pages: int = 100
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     wave_seconds: float | None = None   # None -> unlimited budget per wave
@@ -212,7 +228,7 @@ class CrawlRunner:
             c: CityState(city=c, **v) for c, v in state["cities"].items()
         }
 
-    DELTA_TABLES = ("url_seen", "documents", "crawl_log", "wave_metrics")
+    DELTA_TABLES = ("url_seen", "documents", "crawl_log", "wave_metrics", "refreshed_urls")
 
     def _read(self, name: str) -> DataFrame:
         return self.wh.read(name, version=self._versions[name])
@@ -239,8 +255,9 @@ class CrawlRunner:
         """seeds: [(seed_search_url, city)]; existing_urls: pre-seen set
         (the DB-backed set, funda_spider.py:46)."""
         spark = self.spark
+        seed_prio = PRIORITY_REFRESH if self.mode == "refresh" else PRIORITY_SEED
         seed_rows = [
-            (url, "search", PRIORITY_SEED, city, 1, 0, 0, 0, "pending")
+            (url, "search", seed_prio, city, 1, 0, 0, 0, "pending")
             for (url, city) in seeds
         ]
         seed_df = spark.createDataFrame(
@@ -267,6 +284,7 @@ class CrawlRunner:
         self._write("documents", spark.createDataFrame([], DOCUMENTS_SCHEMA_DDL))
         self._write("crawl_log", spark.createDataFrame([], CRAWL_LOG_SCHEMA))
         self._write("wave_metrics", spark.createDataFrame([], WAVE_METRICS_SCHEMA))
+        self._write("refreshed_urls", spark.createDataFrame([], REFRESHED_URLS_SCHEMA))
         self.city_states = {city: CityState(city=city) for (_, city) in seeds}
         # base search URL per city — the manual ?page=N pagination
         # fallback (funda_spider.py:172-184) appends to this
@@ -352,7 +370,9 @@ class CrawlRunner:
 
         # --- search pages ---------------------------------------------------
         search_ok = fetched.filter((F.col("kind") == "search") & F.col("fetch_ok"))
-        parsed = parse_search_pages(search_ok).cache()
+        # refresh mode uses the looser '/koop/' filter (funda_spider.py:465-477)
+        path_filter = "/koop/" if self.mode == "refresh" else "/detail/koop/"
+        parsed = parse_search_pages(search_ok, path_filter=path_filter).cache()
         candidates = (
             parsed.select(
                 "city",
@@ -375,15 +395,20 @@ class CrawlRunner:
             .drop("_rk")
         )
         # bloom prefilter pays for itself only on huge seen sets; below
-        # the threshold an exact broadcast anti-join is strictly faster
-        use_bloom_now = self.use_bloom and self.seen_count >= self.bloom_min_seen
-        new_cands = filter_new_urls(
-            candidates,
-            url_seen,
-            use_bloom=use_bloom_now,
-            seen_count_hint=max(self.seen_count, 1),
-            broadcast_seen=not use_bloom_now,
-        ).cache()
+        # the threshold an exact broadcast anti-join is strictly faster.
+        # refresh mode collects ALL found URLs — no seen filtering
+        # (collect_active_urls has none, funda_spider.py:488-490)
+        if self.mode == "refresh":
+            new_cands = candidates.cache()
+        else:
+            use_bloom_now = self.use_bloom and self.seen_count >= self.bloom_min_seen
+            new_cands = filter_new_urls(
+                candidates,
+                url_seen,
+                use_bloom=use_bloom_now,
+                seen_count_hint=max(self.seen_count, 1),
+                broadcast_seen=not use_bloom_now,
+            ).cache()
         mark("seen_filter_def")
 
         # --- per-page stats for stop rules (O(#cities) rows) -----------------
@@ -416,6 +441,14 @@ class CrawlRunner:
         next_pages: list[tuple[str, str, int]] = []  # (url, city, page_idx)
         for (city, page_idx), r in sorted(page_stats.items()):
             st = self.city_states[city]
+            if self.mode == "refresh":
+                # collect_active_urls (funda_spider.py:492-504): no stop
+                # counters, next button ONLY (no manual fallback)
+                if page_idx >= self.max_pages or r["next_page"] is None:
+                    st.stopped = True
+                elif not st.stopped:
+                    next_pages.append((r["next_page"], city, page_idx + 1))
+                continue
             n_listings = r["n_listings"] or 0
             n_new = new_counts.get((city, page_idx), 0)
             if n_listings == 0:
@@ -448,25 +481,33 @@ class CrawlRunner:
                 next_pages.append((nxt, city, page_idx + 1))
 
         # --- build new frontier rows -----------------------------------------
-        detail_rows = new_cands.select(
-            "url",
-            "url_hash",
-            "domain",
-            "domain_shard",
-            F.lit("detail").alias("kind"),
-            F.lit(PRIORITY_DETAIL).alias("priority"),
-            "city",
-            F.col("discovered_on_page").alias("page_idx"),
-            "discovered_on_page",
-            "page_pos",
-            F.lit(wave).alias("wave_enqueued"),
-            F.lit(0).alias("attempt"),
-            F.lit("pending").alias("state"),
-        )
+        if self.mode == "refresh":
+            # no detail fetches in refresh mode — collected URLs go to
+            # the refreshed_urls table instead
+            detail_rows = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        else:
+            detail_rows = new_cands.select(
+                "url",
+                "url_hash",
+                "domain",
+                "domain_shard",
+                F.lit("detail").alias("kind"),
+                F.lit(PRIORITY_DETAIL).alias("priority"),
+                "city",
+                F.col("discovered_on_page").alias("page_idx"),
+                "discovered_on_page",
+                "page_pos",
+                F.lit(wave).alias("wave_enqueued"),
+                F.lit(0).alias("attempt"),
+                F.lit("pending").alias("state"),
+            ).select(*[f.name for f in FRONTIER_SCHEMA.fields])
         if next_pages:
+            page_prio = (
+                PRIORITY_REFRESH if self.mode == "refresh" else PRIORITY_PAGINATION
+            )
             np_df = self.spark.createDataFrame(
                 [
-                    (u, "search", PRIORITY_PAGINATION, c, p, p - 1, 0, 0, "pending")
+                    (u, "search", page_prio, c, p, p - 1, 0, 0, "pending")
                     for (u, c, p) in next_pages
                 ],
                 "url string, kind string, priority int, city string, page_idx int, "
@@ -477,11 +518,7 @@ class CrawlRunner:
                 .withColumn("wave_enqueued", F.lit(wave))
                 .select(*[f.name for f in FRONTIER_SCHEMA.fields])
             )
-            detail_rows = detail_rows.select(
-                *[f.name for f in FRONTIER_SCHEMA.fields]
-            ).unionByName(np_rows)
-        else:
-            detail_rows = detail_rows.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            detail_rows = detail_rows.unionByName(np_rows)
 
         # --- frontier state transitions --------------------------------------
         outcome = fetched.select(
@@ -509,10 +546,20 @@ class CrawlRunner:
         )
         new_frontier = untouched.unionByName(transitioned).unionByName(detail_rows)
 
-        # --- seen set ---------------------------------------------------------
-        seen_add = new_cands.select(
-            "url", "url_hash", "domain_shard", F.lit(wave).alias("first_seen_wave")
-        )
+        # --- seen set / refreshed urls -----------------------------------------
+        if self.mode == "refresh":
+            seen_add = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+            refreshed = new_cands.select(
+                "url",
+                "city",
+                F.col("discovered_on_page").alias("found_on_page"),
+                F.lit(wave).alias("wave"),
+            )
+        else:
+            seen_add = new_cands.select(
+                "url", "url_hash", "domain_shard", F.lit(wave).alias("first_seen_wave")
+            )
+            refreshed = self.spark.createDataFrame([], REFRESHED_URLS_SCHEMA)
 
         # --- documents (detail pages -> interleaved spans) --------------------
         detail_ok = fetched.filter((F.col("kind") == "detail") & F.col("fetch_ok"))
@@ -567,11 +614,16 @@ class CrawlRunner:
 
         writes = [
             ("frontier", self._write, new_frontier),
-            ("url_seen", self._append_delta, seen_add),
-            ("documents", self._append_delta, docs),
             ("crawl_log", self._append_delta, log_rows),
             ("wave_metrics", self._append_delta, metrics),
         ]
+        # mode-specific tables: skip the known-empty deltas (one commit
+        # job per table per wave is pure overhead)
+        if self.mode == "refresh":
+            writes.append(("refreshed_urls", self._append_delta, refreshed))
+        else:
+            writes.append(("url_seen", self._append_delta, seen_add))
+            writes.append(("documents", self._append_delta, docs))
         with ThreadPoolExecutor(max_workers=len(writes)) as ex:
             futures = [ex.submit(fn, name, df) for (name, fn, df) in writes]
             for f in futures:

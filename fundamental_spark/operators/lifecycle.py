@@ -76,17 +76,12 @@ def upsert_properties(wh: Warehouse, items: DataFrame, wave: int) -> None:
     wh.append_delta("property_history", hist)
 
 
-def mark_inactive(wh: Warehouse, city: str, refreshed_urls: DataFrame, wave: int) -> int:
-    """Active rows of `city` not present in refreshed_urls(url) ->
-    'inactive' (J3, database.go:1252-1323). Returns #transitioned."""
-    props = wh.read("properties")
-    target = props.filter(
-        (F.lower(F.col("city")) == city.lower()) & (F.col("status") == "active")
-    )
-    stale = target.join(refreshed_urls.select("url"), "url", "left_anti").select("url")
+def _apply_inactive(wh: Warehouse, stale: DataFrame, wave: int) -> int:
+    """Transition the given stale urls to 'inactive' + history append."""
     n = stale.count()
     if n == 0:
         return 0
+    props = wh.read("properties")
     updated = (
         props.alias("p")
         .join(stale.withColumn("_stale", F.lit(True)), "url", "left")
@@ -104,6 +99,35 @@ def mark_inactive(wh: Warehouse, city: str, refreshed_urls: DataFrame, wave: int
     )
     wh.append_delta("property_history", hist)
     return n
+
+
+def mark_inactive(wh: Warehouse, city: str, refreshed_urls: DataFrame, wave: int) -> int:
+    """Active rows of `city` not present in refreshed_urls(url) ->
+    'inactive' (J3, database.go:1252-1323). Returns #transitioned."""
+    props = wh.read("properties")
+    target = props.filter(
+        (F.lower(F.col("city")) == city.lower()) & (F.col("status") == "active")
+    )
+    stale = target.join(refreshed_urls.select("url"), "url", "left_anti").select("url")
+    return _apply_inactive(wh, stale, wave)
+
+
+def mark_inactive_from_refresh(wh: Warehouse, refreshed: DataFrame, wave: int) -> int:
+    """Set-based twin of the reference's per-city refresh loop
+    (scheduler.go:214-254 → MarkInactiveProperties): for every city the
+    refresh crawl visited, active rows whose url was NOT collected
+    become 'inactive' — one anti-join across all cities at once.
+
+    ``refreshed``: the CrawlRunner(mode='refresh') refreshed_urls table
+    (url, city, ...)."""
+    props = wh.read("properties")
+    cities = refreshed.select(F.lower(F.col("city")).alias("_rc")).distinct()
+    target = (
+        props.filter(F.col("status") == "active")
+        .join(F.broadcast(cities), F.lower(F.col("city")) == F.col("_rc"), "left_semi")
+    )
+    stale = target.join(refreshed.select("url"), "url", "left_anti").select("url")
+    return _apply_inactive(wh, stale, wave)
 
 
 def previous_price(history: DataFrame) -> DataFrame:

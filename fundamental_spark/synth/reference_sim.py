@@ -246,3 +246,31 @@ def simulate_crawl(
         spans_by_doc=spans,
         pages_visited_by_city=pages_by_city,
     )
+
+
+def simulate_refresh(
+    site: SyntheticSite, max_pages: int = 100
+) -> tuple[dict[str, set[str]], dict[str, int]]:
+    """The reference's weekly refresh pass (collect_active_urls,
+    funda_spider.py:455-528): per city, walk the search pages collecting
+    ALL listing URLs under the looser '/koop/' filter — no seen
+    filtering, no detail visits, no stop counters, next button only
+    (no manual fallback). Returns ({city: urls}, {city: pages})."""
+    active_urls: dict[str, set[str]] = {}
+    pages_by_city: dict[str, int] = {}
+    for city in site.cities:
+        found: set[str] = set()
+        page, url = 1, site.search_url(city, 1)
+        while True:
+            html = site.fetch(url)
+            if html is None:
+                break
+            pages_by_city[city] = page
+            urls, next_page = extract_search(html, page_url=url, path_filter="/koop/")
+            found.update(urls)
+            if next_page is None or page >= max_pages:
+                break
+            url = next_page
+            page += 1
+        active_urls[city] = found
+    return active_urls, pages_by_city

@@ -316,6 +316,7 @@ def build_site(
     omit_next_button_pages: tuple[int, ...] = (),
     manual_aliases: bool = True,
     blocked_listing_every: int = 0,
+    project_urls_per_city: int = 0,
 ) -> SyntheticSite:
     """Build the deterministic site. ``empty_tail_pages`` appends pages with
     zero listings after the real ones (exercises the 3-empty-pages stop,
@@ -324,7 +325,10 @@ def build_site(
     ``omit_next_button_pages`` drops the next button there (crawlers must
     fall back to the manual ?page=N URL, which ``manual_aliases``
     registers for every page ≥2); ``blocked_listing_every`` replaces
-    every Nth listing's detail page with the bot interstitial."""
+    every Nth listing's detail page with the bot interstitial;
+    ``project_urls_per_city`` appends '/koop/<city>/project-…' URLs (no
+    '/detail/' segment) to page 1 — visible to the refresh pass's looser
+    '/koop/' filter but invisible to the crawl's '/detail/koop/'."""
     rng = random.Random(seed)
     site = SyntheticSite(seed=seed, cities=list(cities), page_size=page_size)
     lid = 0
@@ -370,6 +374,11 @@ def build_site(
         for p0 in range(0, len(city_listings), page_size):
             page_no = len(pages) + 1
             urls = [l.url for l in city_listings[p0 : p0 + page_size]]
+            if page_no == 1:
+                urls = urls + [
+                    f"{BASE}/koop/{city}/project-nieuwbouw-{i}/"
+                    for i in range(project_urls_per_city)
+                ]
             pages.append((site.search_url(city, page_no), urls))
         for _ in range(empty_tail_pages):
             page_no = len(pages) + 1
