@@ -55,6 +55,11 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from .operators.analysis import (
+    district_price_medians,
+    metro_center,
+    with_district_analysis,
+)
 from .operators.similarity import (
     brute_force_topk,
     embedding_near_dup_lsh_pairs,
@@ -619,6 +624,235 @@ def heatmap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.round("median_price", 2)).alias("min_median"),
         F.max(F.round("median_price", 2)).alias("max_median"),
         F.count("*").alias("n_groups"),
+    )
+
+
+@q(
+    "district_price_analysis",
+    """
+    WITH base AS (
+      SELECT l_orderkey * 10 + l_linenumber AS item_id,
+             l_suppkey % 20 AS district,
+             CASE WHEN l_returnflag = 'N' THEN 'active'
+                  WHEN l_returnflag = 'R' THEN 'sold' END AS status,
+             l_extendedprice AS price, l_quantity AS area, l_shipdate AS sold_date,
+             l_extendedprice / l_quantity AS sqm
+      FROM lineitem WHERE l_quantity > 0),
+    q AS (SELECT * FROM base
+          WHERE price > 0 AND area > 0
+            AND area BETWEEN 5 AND 45 AND price BETWEEN 1000 AND 80000),
+    -- the reference's ranked-median formula (database.go:1341-1363),
+    -- matching the Spark side bit-for-bit (MEDIAN() interpolation can
+    -- differ in the last ulp on even counts)
+    ract AS (SELECT district, sqm,
+                    ROW_NUMBER() OVER (PARTITION BY district ORDER BY sqm) AS rn,
+                    COUNT(*) OVER (PARTITION BY district) AS cnt
+             FROM q WHERE status = 'active'),
+    act AS (SELECT district, AVG(sqm) AS active_median, MAX(cnt) AS active_count
+            FROM ract WHERE rn IN ((cnt+1)//2, (cnt+2)//2) GROUP BY 1),
+    rsld AS (SELECT district, sqm,
+                    ROW_NUMBER() OVER (PARTITION BY district ORDER BY sqm) AS rn,
+                    COUNT(*) OVER (PARTITION BY district) AS cnt
+             FROM q WHERE status = 'sold'
+               AND sold_date >= TIMESTAMP '1997-12-01'),
+    sld AS (SELECT district, AVG(sqm) AS sold_median, MAX(cnt) AS sold_count
+            FROM rsld WHERE rn IN ((cnt+1)//2, (cnt+2)//2) GROUP BY 1),
+    med AS (SELECT COALESCE(a.district, s.district) AS district,
+                   COALESCE(active_median, 0) AS active_median,
+                   COALESCE(active_count, 0) AS active_count,
+                   COALESCE(sold_median, 0) AS sold_median,
+                   COALESCE(sold_count, 0) AS sold_count
+            FROM act a FULL OUTER JOIN sld s ON a.district = s.district),
+    newl AS (SELECT * FROM base
+             WHERE status = 'active' AND sold_date >= TIMESTAMP '1998-06-01'),
+    joined AS (
+      SELECT n.item_id, n.district, n.sqm AS price_per_sqm,
+             COALESCE(m.active_median, 0) AS active_median,
+             COALESCE(m.active_count, 0) AS active_count,
+             COALESCE(m.sold_median, 0) AS sold_median,
+             COALESCE(m.sold_count, 0) AS sold_count
+      FROM newl n LEFT JOIN med m ON n.district = m.district)
+    SELECT item_id, district,
+           -- FLOOR-truncation, not ROUND: unit prices are 2-decimal
+           -- prices over integer quantities, so decimal .xxx5 ties are
+           -- common and engines round them differently
+           FLOOR(price_per_sqm * 10000) / 10000 AS price_per_sqm,
+           FLOOR(active_median * 10000) / 10000 AS active_median, active_count,
+           CASE WHEN active_median > 0 THEN
+             CASE WHEN price_per_sqm / active_median <= 0.80 THEN 'GREAT'
+                  WHEN price_per_sqm / active_median <= 0.95 THEN 'GOOD'
+                  WHEN price_per_sqm / active_median <= 1.05 THEN 'NORMAL'
+                  WHEN price_per_sqm / active_median <= 1.20 THEN 'BAD'
+                  ELSE 'HORRIBLE' END END AS active_rating,
+           FLOOR(sold_median * 10000) / 10000 AS sold_median, sold_count,
+           CASE WHEN sold_median > 0 THEN
+             CASE WHEN price_per_sqm / sold_median <= 0.80 THEN 'GREAT'
+                  WHEN price_per_sqm / sold_median <= 0.95 THEN 'GOOD'
+                  WHEN price_per_sqm / sold_median <= 1.05 THEN 'NORMAL'
+                  WHEN price_per_sqm / sold_median <= 1.20 THEN 'BAD'
+                  ELSE 'HORRIBLE' END END AS sold_rating
+    FROM joined
+    """,
+)
+def district_price_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (telegram.go:64-130 + database.go:1326-1417) over the driver
+    tables: per 'new listing' (recent active lineitem), its unit price
+    vs the district's exact active/sold-12mo medians with quality
+    bounds, plus the five-bucket rating. Uses the production operators
+    (district_price_medians + with_district_analysis)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("item_id"),
+        (F.col("l_suppkey") % 20).alias("district_key"),
+        F.when(F.col("l_returnflag") == "N", "active")
+        .when(F.col("l_returnflag") == "R", "sold")
+        .alias("status"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("area"),
+        F.col("l_shipdate").alias("sold_dt"),
+    )
+    med = district_price_medians(
+        base,
+        as_of="1998-12-01",
+        district_col=F.col("district_key"),
+        price_col="price",
+        area_col="area",
+        sold_date_col="sold_dt",
+        price_bounds=(1000, 80000),
+        area_bounds=(5, 45),
+    )
+    newl = base.filter(
+        (F.col("status") == "active")
+        & (F.col("sold_dt") >= F.lit("1998-06-01").cast("timestamp"))
+    )
+    ana = with_district_analysis(
+        newl, med, district_col=F.col("district_key"), price_col="price", area_col="area"
+    )
+    def trunc4(c):
+        return F.floor(F.col(c) * 10000) / 10000
+
+    return ana.select(
+        "item_id",
+        "district",
+        trunc4("price_per_sqm").alias("price_per_sqm"),
+        F.floor(F.coalesce("active_median", F.lit(0.0)) * 10000).cast("double").alias("_am"),
+        F.coalesce("active_count", F.lit(0)).alias("active_count"),
+        "active_rating",
+        F.floor(F.coalesce("sold_median", F.lit(0.0)) * 10000).cast("double").alias("_sm"),
+        F.coalesce("sold_count", F.lit(0)).alias("sold_count"),
+        "sold_rating",
+    ).withColumn("active_median", F.col("_am") / 10000).withColumn(
+        "sold_median", F.col("_sm") / 10000
+    ).drop("_am", "_sm")
+
+
+@q(
+    "client_multidim_filter",
+    """
+    WITH p AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN 'active'
+                  WHEN o_orderstatus = 'F' THEN 'sold' ELSE 'other' END AS status,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE (o_orderkey % 9) + 1 END AS rooms,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderdate END AS listing_date,
+             o_orderdate AS scraped_at,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 5 <> 0
+                  THEN o_orderdate + INTERVAL 30 DAY END AS selling_date
+      FROM orders),
+    eff AS (SELECT *,
+              CASE WHEN status = 'active' THEN COALESCE(listing_date, scraped_at)
+                   ELSE selling_date END AS eff_date
+            FROM p)
+    SELECT status, COUNT(*) AS n, ROUND(AVG(price), 2) AS avg_price
+    FROM eff
+    WHERE (eff_date IS NULL OR (eff_date >= TIMESTAMP '1995-01-01'
+                                AND eff_date <= TIMESTAMP '1997-12-31'))
+      AND (rooms IS NULL OR rooms BETWEEN 2 AND 6)
+      AND (price IS NULL OR price BETWEEN 50000 AND 400000)
+    GROUP BY status
+    """,
+)
+def client_multidim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 (PropertyCharts.tsx:113-154): the client-side multi-filter
+    where a NULL field PASSES its range (the falsy short-circuit) and a
+    NULL effective date PASSES the date window — the exact opposite of
+    the Telegram filter's null-reject (F11). Nulls synthesized
+    deterministically from orderkey residues."""
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    status = (
+        F.when(F.col("o_orderstatus") == "O", "active")
+        .when(F.col("o_orderstatus") == "F", "sold")
+        .otherwise("other")
+    )
+    price = F.when(k % 13 != 0, F.col("o_totalprice"))
+    rooms = F.when(k % 7 != 0, (k % 9) + 1)
+    listing_date = F.when(k % 11 != 0, F.col("o_orderdate"))
+    selling_date = F.when(
+        (F.col("o_orderstatus") == "F") & (k % 5 != 0),
+        F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+    )
+    p = o.select(
+        status.alias("status"),
+        price.alias("price"),
+        rooms.alias("rooms"),
+        listing_date.alias("listing_date"),
+        F.col("o_orderdate").alias("scraped_at"),
+        selling_date.alias("selling_date"),
+    )
+    eff_date = F.when(
+        F.col("status") == "active",
+        F.coalesce("listing_date", "scraped_at"),
+    ).otherwise(F.col("selling_date"))
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1997-12-31").cast("timestamp")
+    passes = (
+        (eff_date.isNull() | ((eff_date >= lo) & (eff_date <= hi)))
+        & (F.col("rooms").isNull() | F.col("rooms").between(2, 6))
+        & (F.col("price").isNull() | F.col("price").between(50000, 400000))
+    )
+    return p.filter(passes).groupBy("status").agg(
+        F.count("*").alias("n"), F.round(F.avg("price"), 2).alias("avg_price")
+    )
+
+
+@q(
+    "metro_center",
+    """
+    WITH mc AS (SELECT n_regionkey AS metropolitan_area_id, n_name AS city,
+                       CASE WHEN n_nationkey % 12 = 0 THEN NULL
+                            ELSE n_nationkey * 3.7 - 30 END AS lat,
+                       CASE WHEN n_nationkey % 12 = 0 THEN NULL
+                            ELSE n_nationkey * 7.3 - 60 END AS lng
+                FROM nation)
+    SELECT metropolitan_area_id,
+           ROUND(AVG(lat), 6) AS center_lat,
+           ROUND(AVG(lng), 6) AS center_lng,
+           COUNT(*) AS n_cities
+    FROM mc WHERE lat IS NOT NULL AND lng IS NOT NULL
+    GROUP BY metropolitan_area_id
+    """,
+)
+def metro_center_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (database.go:968-1009): avg-of-member-city-coordinates center,
+    nulls excluded, over a metro_cities analog built from nation (region
+    = metro area). Uses the production metro_center operator."""
+    n = T(spark, sf_dir, "nation")
+    coords_null = F.col("n_nationkey") % 12 == 0
+    cities = n.select(
+        F.col("n_regionkey").alias("metropolitan_area_id"),
+        F.col("n_name").alias("city"),
+        F.when(~coords_null, F.col("n_nationkey") * 3.7 - 30).alias("lat"),
+        F.when(~coords_null, F.col("n_nationkey") * 7.3 - 60).alias("lng"),
+    )
+    c = metro_center(cities)
+    return c.select(
+        "metropolitan_area_id",
+        F.round("center_lat", 6).alias("center_lat"),
+        F.round("center_lng", 6).alias("center_lng"),
+        "n_cities",
     )
 
 

@@ -119,18 +119,29 @@ def stream_new_listing_alerts(
     crawl_warehouse_root: str,
     alerts_warehouse_root: str,
     checkpoint_dir: str,
+    district_medians: DataFrame | None = None,
     **filter_kwargs,
 ) -> None:
     """S14: side-output of accepted new listings to an `alerts` table
     (the Telegram sendMessage transport is stubbed — sandbox has no
-    network; the message formatting matches telegram.go:133-144)."""
+    network; the message formatting matches telegram.go:133-144).
+
+    ``district_medians``: precomputed district €/m² medians (the
+    operators.analysis.district_price_medians frame). When given, each
+    accepted listing is broadcast-joined against it per micro-batch and
+    the alert row carries the J5 comparison columns the reference embeds
+    in the Telegram message (telegram.go:64-130): price_per_sqm,
+    active/sold median + count + rating."""
+    from ..operators.analysis import with_district_analysis
+
     wh = Warehouse(spark, alerts_warehouse_root)
     pred = new_listing_alert_predicate(**filter_kwargs)
     stream = documents_stream(spark, crawl_warehouse_root)
 
     def _alert(batch: DataFrame, batch_id: int) -> None:
         items = extract_items(batch).drop("city").withColumnRenamed("item_city", "city")
-        accepted = items.filter((F.col("status") == "active") & pred).select(
+        accepted = items.filter((F.col("status") == "active") & pred)
+        cols = [
             "url",
             "city",
             "price",
@@ -139,7 +150,20 @@ def stream_new_listing_alerts(
             "energy_label",
             F.format_number(F.col("price"), 0).alias("price_formatted"),
             F.lit(int(batch_id)).alias("batch_id"),
-        )
+        ]
+        if district_medians is not None:
+            accepted = with_district_analysis(accepted, district_medians)
+            cols += [
+                "district",
+                F.round("price_per_sqm", 2).alias("price_per_sqm"),
+                F.round("active_median", 2).alias("active_median"),
+                "active_count",
+                "active_rating",
+                F.round("sold_median", 2).alias("sold_median"),
+                "sold_count",
+                "sold_rating",
+            ]
+        accepted = accepted.select(*cols)
         if accepted.isEmpty():
             return
         wh.append_delta("alerts", accepted)

@@ -79,6 +79,58 @@ def test_stream_alerts_filter(spark, tmp_path):
     assert all("," in a["price_formatted"] for a in alerts)  # telegram.go:133-144
 
 
+def test_stream_alerts_with_district_analysis(spark, tmp_path):
+    """J5 wired into the alert stream: each accepted listing carries the
+    district comparison the reference embeds in the Telegram message
+    (telegram.go:64-130), joined per micro-batch against precomputed
+    medians."""
+    from fundamental_spark.operators.analysis import district_price_medians
+
+    site = build_site(seed=53, cities=("nijmegen",), listings_per_city=40, page_size=10)
+    r = _crawl(spark, tmp_path / "crawl", site)
+
+    # district medians from the already-crawled corpus (the reference
+    # queries its own properties table)
+    items = extract_items(r.table("documents")).drop("city").withColumnRenamed(
+        "item_city", "city"
+    )
+    med = district_price_medians(items, as_of="2024-06-01").cache()
+
+    stream_new_listing_alerts(
+        spark,
+        str(tmp_path / "crawl"),
+        str(tmp_path / "alerts"),
+        str(tmp_path / "ckpt_j5"),
+        district_medians=med,
+        min_price=100_000,
+    )
+    wh = Warehouse(spark, str(tmp_path / "alerts"))
+    alerts = {a["url"]: a for a in wh.read_deltas("alerts").collect()}
+    assert alerts, "no alerts produced"
+
+    med_map = {m["district"]: m for m in med.collect()}
+    listings = {l.url: l for l in site.listings}
+    checked_rating = 0
+    for u, a in alerts.items():
+        l = listings[u]
+        district = l.postal_code[:4]
+        assert a["district"] == district
+        if l.price and l.living_area:
+            assert abs(a["price_per_sqm"] - round(l.price / l.living_area, 2)) < 0.01
+            m = med_map.get(district)
+            if m and m["active_median"] > 0:
+                ratio = (l.price / l.living_area) / m["active_median"]
+                expected = (
+                    "GREAT" if ratio <= 0.80 else
+                    "GOOD" if ratio <= 0.95 else
+                    "NORMAL" if ratio <= 1.05 else
+                    "BAD" if ratio <= 1.20 else "HORRIBLE"
+                )
+                assert a["active_rating"] == expected, (u, ratio)
+                checked_rating += 1
+    assert checked_rating > 0
+
+
 def test_stream_event_counts_matches_batch(spark, tmp_path):
     src = "/root/testdata/sf0.001/events.parquet"
     out = str(tmp_path / "out")
