@@ -228,7 +228,14 @@ class CrawlRunner:
             c: CityState(city=c, **v) for c, v in state["cities"].items()
         }
 
-    DELTA_TABLES = ("url_seen", "documents", "crawl_log", "wave_metrics", "refreshed_urls")
+    DELTA_TABLES = (
+        "url_seen",
+        "documents",
+        "crawl_log",
+        "wave_metrics",
+        "refreshed_urls",
+        "frontier_done",
+    )
 
     def _read(self, name: str) -> DataFrame:
         return self.wh.read(name, version=self._versions[name])
@@ -236,7 +243,13 @@ class CrawlRunner:
     def _read_deltas(self, name: str) -> DataFrame:
         return self.wh.read_deltas(name, version=self._versions[name])
 
-    SMALL_TABLES = ("frontier", "url_seen", "crawl_log", "wave_metrics")
+    SMALL_TABLES = (
+        "frontier_pending",
+        "frontier_done",
+        "url_seen",
+        "crawl_log",
+        "wave_metrics",
+    )
 
     def _write(self, name: str, df: DataFrame) -> None:
         if name in self.SMALL_TABLES:
@@ -270,7 +283,15 @@ class CrawlRunner:
             .withColumn("wave_enqueued", F.lit(0))
             .select(*[f.name for f in FRONTIER_SCHEMA.fields])
         )
-        self._write("frontier", frontier)
+        # frontier state is SPLIT: 'frontier_pending' holds only rows
+        # still to fetch (rewritten per wave — O(pending)); rows that
+        # reach a terminal state append once to the 'frontier_done' log
+        # and are never rewritten. The old single-table design rewrote
+        # the entire (monotonically growing) frontier every wave —
+        # O(total history) I/O per wave, the #1 scale debt flagged in
+        # round 1.
+        self._write("frontier_pending", frontier)
+        self._write("frontier_done", spark.createDataFrame([], FRONTIER_SCHEMA))
 
         seen_src = spark.createDataFrame(
             [(u,) for u in (existing_urls or [])], "url string"
@@ -314,9 +335,8 @@ class CrawlRunner:
                 _t = now
 
         wave = self.wave + 1
-        frontier = self._read("frontier")
+        pending = self._read("frontier_pending")
         url_seen = self._read_deltas("url_seen")
-        pending = frontier.filter(F.col("state") == "pending")
 
         budget = (
             None
@@ -527,7 +547,7 @@ class CrawlRunner:
             F.col("retryable"),
             (F.col("attempt") + 1).alias("next_attempt"),
         )
-        untouched = frontier.join(selected.select("url"), "url", "left_anti")
+        untouched = pending.join(selected.select("url"), "url", "left_anti")
         transitioned = (
             selected.drop("state", "attempt")
             .join(outcome, "url")
@@ -543,8 +563,14 @@ class CrawlRunner:
             )
             .withColumn("attempt", F.col("next_attempt"))
             .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        ).cache()
+        # retries stay pending; terminal rows append ONCE to the done log
+        new_pending = (
+            untouched
+            .unionByName(transitioned.filter(F.col("state") == "pending"))
+            .unionByName(detail_rows)
         )
-        new_frontier = untouched.unionByName(transitioned).unionByName(detail_rows)
+        done_rows = transitioned.filter(F.col("state") != "pending")
 
         # --- seen set / refreshed urls -----------------------------------------
         if self.mode == "refresh":
@@ -613,7 +639,8 @@ class CrawlRunner:
         from concurrent.futures import ThreadPoolExecutor
 
         writes = [
-            ("frontier", self._write, new_frontier),
+            ("frontier_pending", self._write, new_pending),
+            ("frontier_done", self._append_delta, done_rows),
             ("crawl_log", self._append_delta, log_rows),
             ("wave_metrics", self._append_delta, metrics),
         ]
@@ -635,7 +662,7 @@ class CrawlRunner:
         self._commit_wave()
         if debug:
             print(f"[wave {wave}] " + " ".join(f"{k}={v}" for k, v in timings.items()), flush=True)
-        for df in (selected, fetched, parsed, new_cands):
+        for df in (selected, fetched, parsed, new_cands, transitioned):
             df.unpersist()
         return True
 
@@ -648,6 +675,10 @@ class CrawlRunner:
 
     # ---- convenience readers ------------------------------------------------
     def table(self, name: str) -> DataFrame:
+        if name == "frontier":  # logical view over the pending/done split
+            return self._read("frontier_pending").unionByName(
+                self._read_deltas("frontier_done")
+            )
         if name in self.DELTA_TABLES:
             return self._read_deltas(name)
         return self._read(name)
