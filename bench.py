@@ -105,6 +105,10 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_brute_force",
+    "ann_gemm",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "district_price_analysis",
     "text_quality",
 ]
 

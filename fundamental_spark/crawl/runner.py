@@ -290,8 +290,7 @@ class CrawlRunner:
         # the entire (monotonically growing) frontier every wave —
         # O(total history) I/O per wave, the #1 scale debt flagged in
         # round 1.
-        self._write("frontier_pending", frontier)
-        self._write("frontier_done", spark.createDataFrame([], FRONTIER_SCHEMA))
+        inits = [("frontier_pending", frontier)]
 
         seen_src = spark.createDataFrame(
             [(u,) for u in (existing_urls or [])], "url string"
@@ -301,11 +300,23 @@ class CrawlRunner:
             .withColumn("first_seen_wave", F.lit(-1))
             .select(*[f.name for f in URL_SEEN_SCHEMA.fields])
         )
-        self._write("url_seen", seen)
-        self._write("documents", spark.createDataFrame([], DOCUMENTS_SCHEMA_DDL))
-        self._write("crawl_log", spark.createDataFrame([], CRAWL_LOG_SCHEMA))
-        self._write("wave_metrics", spark.createDataFrame([], WAVE_METRICS_SCHEMA))
-        self._write("refreshed_urls", spark.createDataFrame([], REFRESHED_URLS_SCHEMA))
+        inits += [
+            ("frontier_done", spark.createDataFrame([], FRONTIER_SCHEMA)),
+            ("url_seen", seen),
+            ("documents", spark.createDataFrame([], DOCUMENTS_SCHEMA_DDL)),
+            ("crawl_log", spark.createDataFrame([], CRAWL_LOG_SCHEMA)),
+            ("wave_metrics", spark.createDataFrame([], WAVE_METRICS_SCHEMA)),
+            ("refreshed_urls", spark.createDataFrame([], REFRESHED_URLS_SCHEMA)),
+        ]
+        # bootstrap snapshots are independent: commit them concurrently
+        # (same driver-thread trick as the per-wave writes) — the serial
+        # version cost ~7 scheduling round-trips of pure fixed overhead
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(inits)) as ex:
+            futures = [ex.submit(self._write, name, df) for (name, df) in inits]
+            for fu in futures:
+                fu.result()
         self.city_states = {city: CityState(city=city) for (_, city) in seeds}
         # base search URL per city — the manual ?page=N pagination
         # fallback (funda_spider.py:172-184) appends to this
@@ -451,10 +462,13 @@ class CrawlRunner:
         n_new_total = sum(new_counts.values())
         # per-domain politeness bookkeeping: newly discovered domains
         # join the budget partitioning from the next wave on (wave-sized
-        # distinct over the cached new_cands — O(#domains) rows back)
-        self.domains.update(
-            r["domain"] for r in new_cands.select("domain").distinct().collect()
-        )
+        # distinct over the cached new_cands — O(#domains) rows back).
+        # Only needed when a budget is active: unbudgeted waves take the
+        # whole pending set regardless, so skip the extra job.
+        if self.wave_seconds is not None:
+            self.domains.update(
+                r["domain"] for r in new_cands.select("domain").distinct().collect()
+            )
         mark("page_stats_collect")
 
         # --- stop rules + pagination enqueue (sequential semantics) ----------

@@ -84,6 +84,73 @@ def brute_force_topk(
     )
 
 
+def gemm_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine via blocked GEMM: the queries (small) are
+    collected once and broadcast as a normalized numpy matrix; each
+    corpus partition streams through mapInPandas and scores an Arrow
+    batch against ALL queries with one float64 matrix multiply, keeping
+    only its local top-k per query; a final window takes the global
+    top-k over the per-partition survivors (executors emit ≤ k rows per
+    query per batch, so the shuffle is tiny).
+
+    This is the 100 TB brute-force path: ~100× less per-pair overhead
+    than interpreted JVM HOF cosine, no per-row Python (Arrow batches),
+    and the corpus is never collected or shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, rank int, neighbor_id bigint, cos double"
+        )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = "query_id bigint, neighbor_id bigint, cos double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (batch, n_queries)
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = ids != q_ids[j]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # tie order (cos desc, neighbor_id asc) must match the
+                # final window so the k-boundary cut is identical
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))
+                top = cand_idx[order[:k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(top), q_ids[j]),
+                        "neighbor_id": ids[top],
+                        "cos": col[top],
+                    }
+                )
+
+    partial = spread(corpus).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 _PLANE_SEED = 0x2545F4914F6CDD1D
 
 

@@ -64,6 +64,7 @@ from .operators.similarity import (
     brute_force_topk,
     embedding_near_dup_lsh_pairs,
     embedding_near_dup_pairs,
+    gemm_topk,
     lsh_topk,
 )
 
@@ -1049,6 +1050,32 @@ def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_5"),
     )
+
+
+@q(
+    "ann_gemm",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos_raw
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-GEMM exact top-k (Arrow mapInPandas + numpy matmul) —
+    must equal the all-pairs SQL exactly; the brute-force scale path."""
+    emb = T(spark, sf_dir, "embeddings")
+    return gemm_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 @q("embedding_near_dup_lsh")

@@ -69,6 +69,22 @@ def test_near_dup_pairs_threshold(vectors):
     assert all(a < b for a, b in rows)
 
 
+def test_gemm_topk_equals_jvm_brute_force(vectors):
+    from fundamental_spark.operators.similarity import gemm_topk
+
+    emb, _ = vectors
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in brute_force_topk(emb, queries, k=4).collect()
+    )
+    gm = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in gemm_topk(emb, queries, k=4).collect()
+    )
+    assert gm == bf
+
+
 def test_near_dup_lsh_recall_vs_exact(spark):
     """The banded-LSH near-dup must reproduce the exact all-pairs result
     on a high-threshold fixture (the regime real near-dup dedup runs in),
