@@ -41,6 +41,19 @@ class PolitenessConfig:
     def wave_budget(self, wave_seconds: float) -> int:
         return max(1, math.floor(wave_seconds / self.crawl_delay_s * self.max_concurrency))
 
+    @classmethod
+    def from_robots(cls, robots_txt: str, user_agent: str = "*", **overrides) -> "PolitenessConfig":
+        """Config honoring a robots.txt Crawl-delay (north rule; the
+        reference itself sets ROBOTSTXT_OBEY=False). The robots delay
+        wins over the default when present and larger."""
+        from .robots import parse_robots
+
+        policy = parse_robots(robots_txt, user_agent=user_agent)
+        cfg = cls(**overrides)
+        if policy.crawl_delay is not None:
+            cfg.crawl_delay_s = max(cfg.crawl_delay_s, policy.crawl_delay)
+        return cfg
+
 
 def select_wave(
     pending: DataFrame, budget: int | None, n_domains: int | None = None

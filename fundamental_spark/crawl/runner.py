@@ -118,6 +118,8 @@ CRAWL_LOG_SCHEMA = StructType(
     ]
 )
 
+RESPONSE_CACHE_SCHEMA_DDL = "url string, html string, wave int"
+
 REFRESHED_URLS_SCHEMA = StructType(
     [
         StructField("url", StringType()),
@@ -160,6 +162,19 @@ class CrawlRunner:
     # collected URLs land in the refreshed_urls table and feed
     # lifecycle.mark_inactive (scheduler.go:214-254)
     mode: str = "crawl"
+    # robots.txt body for the crawled domain (north rule: honor robots
+    # + crawl-delay; the reference sets ROBOTSTXT_OBEY=False). When set,
+    # disallowed URLs are filtered JVM-side before they ever enter the
+    # frontier, and a Crawl-delay raises the politeness delay.
+    robots_txt: str | None = None
+    # RFC2616-style response cache (funda/settings.py:34-39 HTTPCACHE):
+    # fetched bodies append to a response_cache table; subsequent waves
+    # (or a seeded fresh crawl) serve hits from it without refetching.
+    # Off by default — the reference's own crawl requests set
+    # dont_cache=True (funda_spider.py:81 etc.), so the cache is an
+    # opt-in, exactly as deployed.
+    http_cache: bool = False
+    response_cache_seed: DataFrame | None = None
     max_pages: int = 100
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     wave_seconds: float | None = None   # None -> unlimited budget per wave
@@ -183,8 +198,25 @@ class CrawlRunner:
         # frontier scale never materializes on the driver
         self._has_spec = "spec" in self.web.columns
         self._render_udf = _make_render_udf() if self._has_spec else None
+        if self.robots_txt is not None:
+            from .robots import parse_robots
+
+            self._robots = parse_robots(self.robots_txt)
+            if self._robots.crawl_delay is not None:
+                self.politeness.crawl_delay_s = max(
+                    self.politeness.crawl_delay_s, self._robots.crawl_delay
+                )
+        else:
+            self._robots = None
         if os.path.exists(self._ckpt_path()):
             self._load_checkpoint()
+
+    def _robots_filter(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        if self._robots is None:
+            return df
+        from .robots import allowed_col
+
+        return df.filter(allowed_col(F.col(url_col), self._robots))
 
     # ---- checkpointing ----------------------------------------------------
     def _ckpt_path(self) -> str:
@@ -235,6 +267,7 @@ class CrawlRunner:
         "wave_metrics",
         "refreshed_urls",
         "frontier_done",
+        "response_cache",
     )
 
     def _read(self, name: str) -> DataFrame:
@@ -278,7 +311,7 @@ class CrawlRunner:
             "url string, kind string, priority int, city string, page_idx int, "
             "discovered_on_page int, page_pos int, attempt int, state string",
         )
-        frontier = (
+        frontier = self._robots_filter(
             with_url_keys(seed_df, n_shards=self.n_shards)
             .withColumn("wave_enqueued", F.lit(0))
             .select(*[f.name for f in FRONTIER_SCHEMA.fields])
@@ -308,6 +341,15 @@ class CrawlRunner:
             ("wave_metrics", spark.createDataFrame([], WAVE_METRICS_SCHEMA)),
             ("refreshed_urls", spark.createDataFrame([], REFRESHED_URLS_SCHEMA)),
         ]
+        if self.http_cache:
+            cache0 = (
+                self.response_cache_seed.select("url", "html").withColumn(
+                    "wave", F.lit(0)
+                )
+                if self.response_cache_seed is not None
+                else spark.createDataFrame([], RESPONSE_CACHE_SCHEMA_DDL)
+            )
+            inits.append(("response_cache", cache0))
         # bootstrap snapshots are independent: commit them concurrently
         # (same driver-thread trick as the per-wave writes) — the serial
         # version cost ~7 scheduling round-trips of pure fixed overhead
@@ -367,15 +409,32 @@ class CrawlRunner:
         # explicit repartition: AQE's size-based coalescing sees only the
         # (small) pre-render spec/html bytes at the join and would collapse
         # the size-expanding render+parse UDFs onto a handful of tasks
+        src = selected
+        if self.http_cache:
+            cache = self._read_deltas("response_cache").select(
+                "url", F.col("html").alias("_cached_html")
+            )
+            src = src.join(cache, "url", "left")
+        else:
+            src = src.withColumn("_cached_html", F.lit(None).cast("string"))
         fetched = (
-            selected.join(self.web, "url", "left")
+            src.join(self.web, "url", "left")
             .repartition(self.spark.sparkContext.defaultParallelism)
         )
         if self._has_spec:
             # render only the rows this wave actually fetches
             fetched = fetched.withColumn(
-                "html", F.coalesce(F.col("html"), self._render_udf(F.col("spec")))
+                "html",
+                F.coalesce(
+                    F.col("_cached_html"),
+                    F.col("html"),
+                    self._render_udf(F.col("spec")),
+                ),
             ).drop("spec")
+        else:
+            fetched = fetched.withColumn(
+                "html", F.coalesce(F.col("_cached_html"), F.col("html"))
+            )
         blocked = F.lit(False)
         for marker in BLOCK_MARKERS:
             blocked = blocked | F.coalesce(F.col("html").contains(marker), F.lit(False))
@@ -386,15 +445,22 @@ class CrawlRunner:
         #   dropped   — 404 (URL not in the web table) or the bot
         #               interstitial body: permanent, never retried
         fail_until = F.coalesce(F.col("fail_until_attempt"), F.lit(0))
+        cache_hit = F.col("_cached_html").isNotNull()
         fetched = (
             fetched.withColumn(
                 "fetch_ok",
-                F.col("html").isNotNull() & ~blocked & (F.col("attempt") >= fail_until),
+                F.col("html").isNotNull()
+                & ~blocked
+                & (cache_hit | (F.col("attempt") >= fail_until)),
             )
             .withColumn(
                 "retryable",
-                F.col("html").isNotNull() & ~blocked & (F.col("attempt") < fail_until),
+                F.col("html").isNotNull()
+                & ~blocked
+                & ~cache_hit
+                & (F.col("attempt") < fail_until),
             )
+            .withColumn("cache_hit", cache_hit)
             .cache()
         )
         mark("fetch_join")
@@ -413,7 +479,9 @@ class CrawlRunner:
             .filter(F.col("cand_url").isNotNull())
             .withColumnRenamed("cand_url", "url")
         )
-        candidates = with_url_keys(candidates, n_shards=self.n_shards)
+        candidates = self._robots_filter(
+            with_url_keys(candidates, n_shards=self.n_shards)
+        )
         # intra-wave dedup, keeping the canonically-first occurrence
         from pyspark.sql import Window
 
@@ -535,6 +603,14 @@ class CrawlRunner:
                 F.lit(0).alias("attempt"),
                 F.lit("pending").alias("state"),
             ).select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        if next_pages and self._robots is not None:
+            import re as _re
+
+            next_pages = [
+                (u, c, p)
+                for (u, c, p) in next_pages
+                if self._robots.allowed(_re.sub(r"^https?://[^/]+", "", u))
+            ]
         if next_pages:
             page_prio = (
                 PRIORITY_REFRESH if self.mode == "refresh" else PRIORITY_PAGINATION
@@ -665,6 +741,11 @@ class CrawlRunner:
         else:
             writes.append(("url_seen", self._append_delta, seen_add))
             writes.append(("documents", self._append_delta, docs))
+        if self.http_cache:
+            cache_add = fetched.filter(
+                F.col("fetch_ok") & ~F.col("cache_hit")
+            ).select("url", "html", F.lit(wave).alias("wave"))
+            writes.append(("response_cache", self._append_delta, cache_add))
         with ThreadPoolExecutor(max_workers=len(writes)) as ex:
             futures = [ex.submit(fn, name, df) for (name, fn, df) in writes]
             for f in futures:

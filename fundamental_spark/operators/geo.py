@@ -89,6 +89,25 @@ def geocode_candidates(props: DataFrame, batch_size: int = 10) -> DataFrame:
     )
 
 
+def geocoding_progress(props: DataFrame) -> DataFrame:
+    """A17 (database.go:692-756): the processed/failed tallies the
+    reference prints per batch, as one aggregate — total, geocoded
+    (coords present), failed (attempted but no coords), pending
+    (never attempted), processed percentage."""
+    has_coords = F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    attempted = F.coalesce(F.col("geocoding_attempted"), F.lit(False)) | has_coords
+    return props.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(has_coords, 1)).alias("geocoded"),
+        F.count(F.when(attempted & ~has_coords, 1)).alias("failed"),
+        F.count(F.when(~attempted, 1)).alias("pending"),
+        F.round(
+            F.count(F.when(attempted, 1)) * 100.0 / F.greatest(F.count("*"), F.lit(1)),
+            2,
+        ).alias("processed_pct"),
+    )
+
+
 def unique_districts(props: DataFrame) -> DataFrame:
     """A7 + F10 (district.go:61-90): DISTINCT 4-digit postal prefix per
     city, numeric-prefix guard."""

@@ -1053,6 +1053,41 @@ def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "geocoding_progress",
+    """
+    WITH p AS (
+      SELECT CASE WHEN c_custkey % 3 <> 0 THEN TRUE ELSE FALSE END AS geocoding_attempted,
+             CASE WHEN c_custkey % 3 <> 0 AND c_acctbal > 0 THEN c_acctbal END AS latitude,
+             CASE WHEN c_custkey % 3 <> 0 AND c_acctbal > 0 THEN c_acctbal END AS longitude
+      FROM customer)
+    SELECT COUNT(*) AS total,
+           COUNT(CASE WHEN latitude IS NOT NULL AND longitude IS NOT NULL THEN 1 END) AS geocoded,
+           COUNT(CASE WHEN geocoding_attempted
+                       AND (latitude IS NULL OR longitude IS NULL) THEN 1 END) AS failed,
+           COUNT(CASE WHEN NOT geocoding_attempted THEN 1 END) AS pending,
+           ROUND(COUNT(CASE WHEN geocoding_attempted THEN 1 END) * 100.0
+                 / GREATEST(COUNT(*), 1), 2) AS processed_pct
+    FROM p
+    """,
+)
+def geocoding_progress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 (database.go:692-756) over a customer analog: attempted/
+    geocoded flags synthesized deterministically from custkey/acctbal;
+    uses the production geocoding_progress operator."""
+    from .operators.geo import geocoding_progress
+
+    c = T(spark, sf_dir, "customer")
+    attempted = F.col("c_custkey") % 3 != 0
+    coord = F.when(attempted & (F.col("c_acctbal") > 0), F.col("c_acctbal"))
+    props_like = c.select(
+        attempted.alias("geocoding_attempted"),
+        coord.alias("latitude"),
+        coord.alias("longitude"),
+    )
+    return geocoding_progress(props_like)
+
+
+@q(
     "ann_gemm",
     """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
