@@ -61,17 +61,28 @@ from .seen import filter_new_urls
 BLOCK_MARKERS = ("Je bent bijna op de pagina die je zoekt",)
 
 
-def _make_render_udf():
+def _make_render_parse_udf():
+    """Fused spec → spans UDF: renders the detail page AND parses the
+    interleaved span sequence inside ONE Arrow batch, so the ~50 KB
+    HTML body exists only transiently in Python worker memory — it
+    never ships back across Arrow nor materializes in the JVM cache.
+    A real deployment's fetch stage does the same fusion (fetch →
+    parse in one mapInPandas): page bytes are consumed where they are
+    produced; only the compact span rows move. This is what lets the
+    pipeline scale past the single-box DRAM wall.
+
+    (lambda form: `from __future__ import annotations` stringifies
+    hints, which pandas_udf's type-hint inference can't resolve here)"""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
 
     from ..synth.site import render_from_spec
+    from .parse import SPANS_TYPE, _spans_of
 
-    # lambda form: `from __future__ import annotations` stringifies hints,
-    # which pandas_udf's type-hint inference can't resolve here
     return pandas_udf(
-        lambda spec: spec.map(lambda x: render_from_spec(x) if x is not None else None),
-        StringType(),
+        lambda spec: spec.map(
+            lambda x: _spans_of(render_from_spec(x)) if x is not None else None
+        ),
+        SPANS_TYPE,
     )
 
 FRONTIER_SCHEMA = StructType(
@@ -197,7 +208,7 @@ class CrawlRunner:
         # specs (url, spec) rendered inside the fetch stage — the web at
         # frontier scale never materializes on the driver
         self._has_spec = "spec" in self.web.columns
-        self._render_udf = _make_render_udf() if self._has_spec else None
+        self._render_parse_udf = _make_render_parse_udf() if self._has_spec else None
         if self.robots_txt is not None:
             from .robots import parse_robots
 
@@ -420,21 +431,14 @@ class CrawlRunner:
         fetched = (
             src.join(self.web, "url", "left")
             .repartition(self.spark.sparkContext.defaultParallelism)
+            .withColumn("html", F.coalesce(F.col("_cached_html"), F.col("html")))
         )
+        # spec rows (executor-side rendering) keep their compact spec:
+        # render+parse happen FUSED in the documents projection below,
+        # so the heavy page body never materializes JVM-side
+        has_body = F.col("html").isNotNull()
         if self._has_spec:
-            # render only the rows this wave actually fetches
-            fetched = fetched.withColumn(
-                "html",
-                F.coalesce(
-                    F.col("_cached_html"),
-                    F.col("html"),
-                    self._render_udf(F.col("spec")),
-                ),
-            ).drop("spec")
-        else:
-            fetched = fetched.withColumn(
-                "html", F.coalesce(F.col("_cached_html"), F.col("html"))
-            )
+            has_body = has_body | F.col("spec").isNotNull()
         blocked = F.lit(False)
         for marker in BLOCK_MARKERS:
             blocked = blocked | F.coalesce(F.col("html").contains(marker), F.lit(False))
@@ -449,13 +453,13 @@ class CrawlRunner:
         fetched = (
             fetched.withColumn(
                 "fetch_ok",
-                F.col("html").isNotNull()
+                has_body
                 & ~blocked
                 & (cache_hit | (F.col("attempt") >= fail_until)),
             )
             .withColumn(
                 "retryable",
-                F.col("html").isNotNull()
+                has_body
                 & ~blocked
                 & ~cache_hit
                 & (F.col("attempt") < fail_until),
@@ -679,9 +683,15 @@ class CrawlRunner:
 
         # --- documents (detail pages -> interleaved spans) --------------------
         detail_ok = fetched.filter((F.col("kind") == "detail") & F.col("fetch_ok"))
+        if self._has_spec:
+            spans = F.when(
+                F.col("spec").isNotNull(), self._render_parse_udf(F.col("spec"))
+            ).otherwise(parse_spans_udf(F.col("html")))
+        else:
+            spans = parse_spans_udf(F.col("html"))
         docs = detail_ok.select(
             F.col("url").alias("doc_id"),
-            parse_spans_udf(F.col("html")).alias("spans"),
+            spans.alias("spans"),
             F.lit(wave).alias("wave"),
             "city",
             "discovered_on_page",
@@ -743,7 +753,7 @@ class CrawlRunner:
             writes.append(("documents", self._append_delta, docs))
         if self.http_cache:
             cache_add = fetched.filter(
-                F.col("fetch_ok") & ~F.col("cache_hit")
+                F.col("fetch_ok") & ~F.col("cache_hit") & F.col("html").isNotNull()
             ).select("url", "html", F.lit(wave).alias("wave"))
             writes.append(("response_cache", self._append_delta, cache_add))
         with ThreadPoolExecutor(max_workers=len(writes)) as ex:

@@ -169,6 +169,27 @@ def test_blocked_interstitial_dropped_without_retry(spark, tmp_path):
     assert len(rows) == 6 and all(r["attempt"] == 1 for r in rows)
 
 
+def test_spec_rendered_web_matches_html_web(spark, tmp_path):
+    """Executor-side rendering (the bench's frontier-scale mode): detail
+    pages ship as compact specs and the fused render+parse UDF produces
+    spans inside one Arrow batch — the result must be identical to the
+    pre-rendered-HTML web, row for row, span for span."""
+    from fundamental_spark.synth.site import spec_web_rows
+
+    site = build_site(seed=71, cities=("delft",), listings_per_city=30, page_size=10)
+    sim = simulate_crawl(site, "active")
+
+    rows, n_detail = spec_web_rows(site)
+    assert n_detail == 30
+    web = spark.createDataFrame(rows, "url string, html string, spec string")
+    runner = CrawlRunner(
+        spark=spark, warehouse_root=str(tmp_path / "wh"), web=web,
+    )
+    runner.init([(site.search_url(c, 1), c) for c in site.cities])
+    runner.run()
+    _assert_equivalent(runner, sim)
+
+
 def test_bloom_and_exact_paths_agree(spark, tmp_path):
     site = build_site(seed=23, cities=("gouda",), listings_per_city=30, page_size=10)
     pages = site.pages_by_city["gouda"]
