@@ -1053,6 +1053,51 @@ def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "event_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             event_id
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value, event_id,
+             -- CAST: DuckDB window SUM yields HUGEINT; Spark is bigint
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
+      FROM o)
+    SELECT user_id, session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) — the batch
+    twin of the applyInPandasWithState streaming operator
+    (streaming/stateful.py): lag → new-session flag → running sum →
+    per-session rollup. Classic stateful shape a training-data event
+    pipeline needs; not in the reference."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("INTERVAL 30 MINUTES")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > gap),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("session_no", F.sum(new_sess).over(w))
+    return s.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@q(
     "geocoding_progress",
     """
     WITH p AS (
