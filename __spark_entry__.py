@@ -6,9 +6,11 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementations live in ``fundamental_spark.queries`` (operator
-registry) — every SQL-expressible operator has a DuckDB oracle twin;
-the genuinely non-SQL ops (MinHash LSH, SimHash, hyperplane-LSH ANN,
-stopword-vote langid) are registered without one (rows-only check).
+registry) — every SQL-expressible operator has a DuckDB oracle twin
+(37 oracle-matched queries); the genuinely non-SQL ops (MinHash LSH,
+SimHash, hyperplane-LSH ANN + its recall metric, banded near-dup LSH)
+are registered without one (rows-only check) and carry quantitative
+pytest twins instead.
 """
 
 from __future__ import annotations

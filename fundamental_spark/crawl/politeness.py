@@ -37,9 +37,39 @@ class PolitenessConfig:
     retry_http_codes: tuple[int, ...] = (500, 502, 503, 504, 522, 524, 408, 429, 403)
     timeout_s: int = 30              # funda/settings.py:49
     robots_allowed: bool = True
+    # AutoThrottle (funda/settings.py:24-27: start 2 s, max 30 s) at
+    # wave granularity: waves with fetch failures double the effective
+    # delay (Scrapy never decreases on error responses); clean waves
+    # decay halfway back toward the start delay. The budget formula
+    # then uses the adaptive delay, so a throttled crawl takes smaller
+    # waves until the site recovers.
+    autothrottle: bool = False
+    autothrottle_start_s: float = 2.0
+    autothrottle_max_s: float = 30.0
+    current_delay_s: float | None = None
+
+    def effective_delay(self) -> float:
+        if not self.autothrottle:
+            return self.crawl_delay_s
+        if self.current_delay_s is None:
+            self.current_delay_s = max(self.crawl_delay_s, self.autothrottle_start_s)
+        return self.current_delay_s
+
+    def observe_wave(self, n_ok: int, n_failed: int) -> None:
+        """Feed a wave's fetch outcome into the adaptive delay."""
+        if not self.autothrottle:
+            return
+        d = self.effective_delay()
+        floor_delay = max(self.crawl_delay_s, self.autothrottle_start_s)
+        if n_failed > 0:
+            self.current_delay_s = min(self.autothrottle_max_s, d * 2.0)
+        else:
+            self.current_delay_s = max(floor_delay, (d + floor_delay) / 2)
 
     def wave_budget(self, wave_seconds: float) -> int:
-        return max(1, math.floor(wave_seconds / self.crawl_delay_s * self.max_concurrency))
+        return max(
+            1, math.floor(wave_seconds / self.effective_delay() * self.max_concurrency)
+        )
 
     @classmethod
     def from_robots(cls, robots_txt: str, user_agent: str = "*", **overrides) -> "PolitenessConfig":

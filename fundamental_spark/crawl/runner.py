@@ -240,6 +240,7 @@ class CrawlRunner:
             "seen_count": self.seen_count,
             "seed_urls": self.seed_urls,
             "domains": sorted(self.domains),
+            "current_delay_s": self.politeness.current_delay_s,
             "versions": self._versions,
             "cities": {
                 c: {
@@ -262,6 +263,8 @@ class CrawlRunner:
         self.seen_count = state.get("seen_count", 0)
         self.seed_urls = state.get("seed_urls", {})
         self.domains = set(state.get("domains", []))
+        if state.get("current_delay_s") is not None:
+            self.politeness.current_delay_s = state["current_delay_s"]
         self._versions = state["versions"]
         # prune snapshots newer than the pinned versions (mid-wave crash
         # leaves orphan data commits without a checkpoint commit)
@@ -541,6 +544,14 @@ class CrawlRunner:
             self.domains.update(
                 r["domain"] for r in new_cands.select("domain").distinct().collect()
             )
+            if self.politeness.autothrottle:
+                # AutoThrottle feedback: one tiny agg over the cached
+                # fetch outcome adjusts next wave's effective delay
+                r = fetched.agg(
+                    F.count(F.when(F.col("fetch_ok"), 1)).alias("ok"),
+                    F.count(F.when(~F.col("fetch_ok"), 1)).alias("failed"),
+                ).collect()[0]
+                self.politeness.observe_wave(r["ok"], r["failed"])
         mark("page_stats_collect")
 
         # --- stop rules + pagination enqueue (sequential semantics) ----------

