@@ -54,6 +54,7 @@ from .operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    winnow_pairs,
 )
 from .operators.analysis import (
     district_price_medians,
@@ -1017,6 +1018,38 @@ def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible ops: rows-only checks (driver records weaker check)
 # ---------------------------------------------------------------------------
+@q(
+    "dedup_winnow",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     [arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                      FOR i IN generate_series(1, len(arr)-2)] AS gs
+              FROM toks WHERE len(arr) >= 3),
+    hs AS (SELECT doc_id,
+                  list_transform(gs, g ->
+                    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS h
+           FROM grams),
+    fp AS (SELECT doc_id,
+                  CASE WHEN len(h) >= 4 THEN
+                    list_distinct([list_aggregate(h[i:i+3], 'min')
+                                   FOR i IN generate_series(1, len(h)-3)])
+                  ELSE list_distinct(h) END AS fps
+           FROM hs),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+    FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint candidate pairs (MOSS scheme) — the
+    compressed inverted index (~2/(w+1) of the shingle index); the
+    md5-derived 60-bit hash makes the DuckDB twin bit-identical."""
+    return winnow_pairs(T(spark, sf_dir, "documents"), min_shared=2)
+
+
 @q("dedup_minhash_lsh")
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.1)

@@ -14,6 +14,8 @@ from fundamental_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_bits,
     simhash_pairs,
+    winnow_fingerprints,
+    winnow_pairs,
 )
 
 WORDS = (
@@ -69,6 +71,26 @@ def test_minhash_lsh_recall_and_estimate(planted):
     }
     assert exact  # planted pairs exist
     assert lsh == exact  # 16 bands x 4 rows: recall 1.0 at j>=0.3 here
+
+
+def test_winnow_guarantee_and_compression(planted, spark):
+    """Winnowing guarantee: any shared run of ≥ n+w-1 tokens shares a
+    fingerprint, so the planted near-dups must collide; the selected
+    fingerprint set must be much smaller than the full shingle set."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnow_pairs(planted, min_shared=2).collect()
+    }
+    assert ("dup_a", "dup_b") in pairs          # identical docs
+    assert ("dup_a", "near_a") in pairs         # 1-word mutation
+    # compression: fingerprints ≪ shingles (~2/(w+1) expected density)
+    from fundamental_spark.operators.dedup import word_shingles
+
+    stats = planted.select(
+        F.size(winnow_fingerprints(F.col("text"))).alias("n_fp"),
+        F.size(word_shingles(F.col("text"))).alias("n_sh"),
+    ).agg(F.sum("n_fp").alias("fp"), F.sum("n_sh").alias("sh")).first()
+    assert stats["fp"] < 0.6 * stats["sh"]
 
 
 def test_simhash_hamming(planted, spark):
