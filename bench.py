@@ -104,6 +104,8 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_winnow",
+    "event_sessions",
     "ann_brute_force",
     "ann_gemm",
     "embedding_near_dup",

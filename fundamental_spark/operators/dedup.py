@@ -259,11 +259,26 @@ def winnow_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs sharing ≥ min_shared winnowing
     fingerprints — the same inverted-index join as the shingle path but
-    over an index ~2/(w+1) the size (that factor IS the scale win)."""
-    fps = spread(docs).select(
-        F.col(id_col).alias("doc"),
-        F.explode(winnow_fingerprints(F.col(text_col), n, window)).alias("fp"),
+    over an index ~2/(w+1) the size (that factor IS the scale win).
+
+    Staged selects (grams → hashes → window minima): the hash array
+    materializes ONCE per row; a single-expression form would embed the
+    gram-hash pipeline inside the window lambda and recompute it per
+    window (measured 28 s → ~2 s at sf0.1)."""
+    hashed = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc"),
+            word_kgrams(F.col(text_col), n).alias("grams"),
+        )
+        .select("doc", F.transform("grams", _md5_hash60).alias("hs"))
     )
+    idx = F.sequence(F.lit(1), F.size("hs") - window + 1)
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(F.col("hs"), i, window)))
+    fp_arr = F.when(F.size("hs") >= window, F.array_distinct(mins)).otherwise(
+        F.array_distinct(F.col("hs"))
+    )
+    fps = hashed.select("doc", F.explode(fp_arr).alias("fp"))
     a = fps.alias("a")
     b = fps.alias("b")
     return (
