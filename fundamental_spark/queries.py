@@ -66,6 +66,7 @@ from .operators.similarity import (
     embedding_near_dup_lsh_pairs,
     embedding_near_dup_pairs,
     gemm_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -1189,6 +1190,31 @@ def ann_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the all-pairs SQL exactly; the brute-force scale path."""
     emb = T(spark, sf_dir, "embeddings")
     return gemm_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@q("ann_ivf")
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only; quantitative twin below)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@q("ann_ivf_recall")
+def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF path vs exact brute force, as a one-row
+    result (the IVF scan prunes to ~n_probe/n_centroids of the corpus)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        hit.agg(F.count("*").alias("n_hit"))
+    ).select(
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_5"),
+    )
 
 
 @q("embedding_near_dup_lsh")

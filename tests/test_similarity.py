@@ -61,6 +61,26 @@ def test_lsh_recall_vs_brute_force(vectors):
     assert recall >= 0.5, (recall, bf, approx)
 
 
+def test_ivf_finds_planted_twin_and_prunes(vectors, spark):
+    from fundamental_spark.operators.similarity import ivf_topk
+
+    emb, _ = vectors
+    # the planted twin shares its base vector's cell, so probing the
+    # query's own nearest cells must find it at rank 1
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=3,
+                   n_centroids=8, n_probe=2)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in res.collect())
+    assert rows[0] == (1, 200)
+    # recall@1 over several queries stays useful despite the pruning
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in
+          brute_force_topk(emb, queries, k=1).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in
+           ivf_topk(emb, queries, k=1, n_centroids=8, n_probe=4).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, recall
+
+
 def test_near_dup_pairs_threshold(vectors):
     emb, _ = vectors
     pairs = embedding_near_dup_pairs(emb, threshold=0.95)
