@@ -289,25 +289,32 @@ def winnow_pairs(
     )
 
 
+SIMHASH_BITS = 60  # 60-bit md5-derived hash: computable in BOTH engines
+
+
 def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: token-count-weighted bit votes."""
+    """60-bit SimHash per doc: token-count-weighted bit votes. The
+    60-bit md5-derived token hash (vs xxhash64) makes the whole
+    computation reproducible in DuckDB, so simhash pairs get a REAL
+    oracle twin (queries.dedup_simhash); 60 = 4 clean 15-bit blocks
+    for the hamming≤3 pigeonhole."""
     toks = spread(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )
     tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("w")).withColumn(
-        "h", F.xxhash64("tok")
+        "h", _md5_hash60(F.col("tok"))
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
             .otherwise(-F.col("w"))
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = tf.groupBy("doc").agg(*votes)
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         sim = sim.bitwiseOR(
             F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         )
@@ -319,10 +326,10 @@ def simhash_pairs(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
-    block-pigeonhole join: split 64 bits into max_hamming+1 blocks;
+    block-pigeonhole join: split the bits into max_hamming+1 blocks;
     any pair within the radius shares ≥1 exact block."""
     n_blocks = max_hamming + 1
-    width = 64 // n_blocks
+    width = SIMHASH_BITS // n_blocks
     sim = simhash_bits(docs, id_col=id_col, text_col=text_col)
     blocks = sim.select(
         "doc",

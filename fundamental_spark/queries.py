@@ -1056,8 +1056,47 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.1)
 
 
-@q("dedup_simhash")
+_SIMHASH_VOTES = ",\n".join(
+    f"             SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN w ELSE -w END) AS v{i}"
+    for i in range(60)
+)
+_SIMHASH_BUILD = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)" for i in range(60)
+)
+_SIMHASH_BLOCKS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS block_idx, (simhash >> {b * 15}) & 32767 AS block_val FROM sim"
+    for b in range(4)
+)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS w,
+                  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           FROM toks GROUP BY 1, 2),
+    votes AS (SELECT doc_id,
+{_SIMHASH_VOTES}
+              FROM tf GROUP BY 1),
+    sim AS (SELECT doc_id, {_SIMHASH_BUILD} AS simhash FROM votes),
+    blocks AS ({_SIMHASH_BLOCKS}),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sh_a, b.simhash AS sh_b
+              FROM blocks a JOIN blocks b
+                ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+               AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — fully oracle-checked: the 60-bit
+    md5-derived token hash lets DuckDB replicate the bit votes, the
+    fingerprint build, the 4x15-bit pigeonhole join and the hamming
+    verify bit-for-bit."""
     return simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=3)
 
 
