@@ -87,7 +87,12 @@ def winnow_fingerprints(text: Column, n: int = 3, window: int = 4) -> Column:
     hashes, keep the minimum of each window, dedup. Guarantees any
     shared run of ≥ n+w-1 tokens between two documents shares ≥1
     fingerprint, while storing ~2/(w+1) of the full shingle index —
-    the fingerprint index the 100 TB dedup tier joins on."""
+    the fingerprint index the 100 TB dedup tier joins on.
+
+    NOTE: as a single Column expression the hash array is inlined into
+    the window lambda and recomputed per window — fine for fixtures;
+    hot paths must use the staged pipeline in ``winnow_pairs`` (hash
+    array materialized once per row; 28 s -> 2 s at sf0.1)."""
     grams = word_kgrams(text, n)
     hs = F.transform(grams, _md5_hash60)
     idx = F.sequence(F.lit(1), F.size(hs) - window + 1)
