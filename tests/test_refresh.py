@@ -106,3 +106,26 @@ def test_refresh_feeds_mark_inactive(spark, tmp_path, refresh_site):
         assert after[u] == "active"
     # cities the refresh never visited are untouched
     assert after["https://www.funda.nl/detail/koop/elders/huis-x/77000001/"] == "active"
+
+
+def test_refresh_resumes_exactly_mid_run(spark, tmp_path, refresh_site):
+    """T5 for refresh mode: stop after one wave, reopen the runner from
+    the checkpoint, drain — the refreshed URL set must equal an
+    uninterrupted run's."""
+    site = refresh_site
+    web = spark.createDataFrame(web_rows(site), "url string, html string")
+
+    full = _run_refresh(spark, tmp_path / "full", site)
+    want = {(r["city"], r["url"]) for r in full.table("refreshed_urls").collect()}
+
+    r1 = CrawlRunner(spark=spark, warehouse_root=str(tmp_path / "part" / "wh"),
+                     web=web, mode="refresh")
+    r1.init([(site.search_url(c, 1), c) for c in site.cities])
+    assert r1.step()  # one wave, then "crash"
+
+    r2 = CrawlRunner(spark=spark, warehouse_root=str(tmp_path / "part" / "wh"),
+                     web=web, mode="refresh")
+    assert r2.wave == 1 and r2.mode == "refresh"  # checkpoint reloaded
+    r2.run()
+    got = {(r["city"], r["url"]) for r in r2.table("refreshed_urls").collect()}
+    assert got == want
