@@ -191,6 +191,12 @@ class CrawlRunner:
     wave_seconds: float | None = None   # None -> unlimited budget per wave
     use_bloom: bool = True
     bloom_min_seen: int = 200_000      # below this, broadcast exact anti-join wins
+    # fold delta snapshots into one base once this many accumulate since
+    # the last compaction (Iceberg rewrite_data_files): bounds the
+    # per-wave dir listing of url_seen / response_cache at O(compact_every)
+    # instead of O(#waves-ever). Amortized rewrite cost per wave is
+    # O(table)/compact_every.
+    compact_every: int = 64
     n_shards: int = DEFAULT_N_SHARDS
     state_partitions: int = 4          # small-state snapshot files per commit
     wave: int = 0
@@ -776,6 +782,13 @@ class CrawlRunner:
 
         self.wave = wave
         self._commit_wave()
+        # compact the delta tables that are re-read EVERY wave, up to the
+        # version the checkpoint just pinned (never past a durable commit:
+        # resume rolls back only to >= the floor, contract kept)
+        for name in ("url_seen", "response_cache"):
+            v = self._versions.get(name)
+            if v is not None and v - self.wh.compaction_floor(name) >= self.compact_every:
+                self.wh.compact_deltas(name, upto=v)
         if debug:
             print(f"[wave {wave}] " + " ".join(f"{k}={v}" for k, v in timings.items()), flush=True)
         for df in (selected, fetched, parsed, new_cands, transitioned):

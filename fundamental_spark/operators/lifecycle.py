@@ -11,9 +11,12 @@ Reference semantics (server/internal/database/database.go):
   is NOT in the freshly-crawled URL list become 'inactive' — a
   left-anti join in set terms (the reference builds a hash map).
 
-Spark-first shape: one MERGE per batch (emulated by the Warehouse via
-full-outer join + snapshot rewrite; Iceberg MERGE INTO on a real
-deployment), one anti-join for mark-inactive. No per-row logic.
+Spark-first shape: one MERGE per batch against a snapshot
+hash-bucketed on url (Iceberg ``PARTITIONED BY (bucket(n, url))`` +
+MERGE INTO on a real deployment) so each batch rewrites ONLY the
+buckets containing batch keys — per-batch write cost O(batch-touched
+buckets), never O(table). Mark-inactive is one anti-join feeding the
+same bucketed MERGE. No per-row logic anywhere.
 """
 
 from __future__ import annotations
@@ -32,6 +35,11 @@ PROPERTIES_DDL = (
 )
 
 HISTORY_DDL = "url string, status string, price bigint, listing_date date, wave int"
+
+# bucket count for the properties snapshot: at funda's ~1M listings a
+# bucket is ~30k rows; at 10^10-frontier scale the same layout holds
+# with a larger count — one knob, set before first write
+PROPERTIES_BUCKETS = 32
 
 
 def _props_schema(spark):
@@ -57,6 +65,7 @@ def upsert_properties(wh: Warehouse, items: DataFrame, wave: int) -> None:
     ).dropDuplicates(["url"])
 
     schema = _props_schema(spark)
+    wh.ensure_bucketed("properties", key="url", n_buckets=PROPERTIES_BUCKETS)
     # republish transition: inactive target + active incoming ->
     # status 'republished', republish_count++ (database.go:786-793)
     republished = (F.col("t.status") == "inactive") & (F.col("b.status") == "active")
@@ -77,21 +86,21 @@ def upsert_properties(wh: Warehouse, items: DataFrame, wave: int) -> None:
 
 
 def _apply_inactive(wh: Warehouse, stale: DataFrame, wave: int) -> int:
-    """Transition the given stale urls to 'inactive' + history append."""
+    """Transition the given stale urls to 'inactive' + history append.
+
+    Expressed as a MERGE whose batch is the stale rows with status
+    flipped: the bucketed Warehouse rewrites only the buckets holding
+    stale urls (Iceberg MERGE file pruning), not the whole snapshot."""
     n = stale.count()
     if n == 0:
         return 0
     props = wh.read("properties")
-    updated = (
-        props.alias("p")
-        .join(stale.withColumn("_stale", F.lit(True)), "url", "left")
-        .withColumn(
-            "status",
-            F.when(F.col("_stale"), F.lit("inactive")).otherwise(F.col("status")),
-        )
-        .drop("_stale")
+    batch = (
+        props.join(stale.select("url"), "url", "left_semi")
+        .withColumn("status", F.lit("inactive"))
     )
-    wh.overwrite("properties", updated)
+    wh.ensure_bucketed("properties", key="url", n_buckets=PROPERTIES_BUCKETS)
+    wh.merge_upsert("properties", batch, key="url", schema=_props_schema(props.sparkSession))
     hist = (
         wh.read("properties")
         .join(stale, "url", "left_semi")
