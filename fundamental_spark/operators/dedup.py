@@ -155,11 +155,20 @@ def minhash_signatures(
     array HOFs (transform + array_min): zero shuffle, zero explode;
     the whole signature build stays inside whole-stage codegen. (The
     previous explode → groupBy(64 min-aggs) plan shuffled the entire
-    shingle table; row-wise is both faster and scale-free.)"""
+    shingle table; row-wise is both faster and scale-free.)
+
+    The base shingle hash is the md5-derived 60-bit hash mod 2^31 (not
+    xxhash64) so the ENTIRE signature pipeline is reproducible in
+    DuckDB — minhash-LSH gets a full cross-engine oracle, like SimHash
+    and winnowing."""
     # staged selects: the shingle-hash array materializes ONCE per row
     # (CollapseProject keeps non-cheap HOF aliases referenced >1×, so the
     # k mh columns all read the same `hs` attribute instead of embedding
     # k copies of the shingle pipeline)
+    # (A rolling-polynomial-over-token-hashes variant was measured
+    # SLOWER here: interpreted element_at per lambda step costs more
+    # than md5 over the shingle string — 9.9 s vs 4.0 s full signature
+    # evaluation at sf0.1. The md5-per-shingle form stays.)
     hashed = (
         spread(docs).select(
             F.col(id_col).alias("doc"),
@@ -170,7 +179,7 @@ def minhash_signatures(
             "doc",
             F.transform(
                 # bound the base hash to 2^31 so a*h fits int64 under ANSI
-                "sh_arr", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
+                "sh_arr", lambda s: F.pmod(_md5_hash60(s), F.lit(1 << 31))
             ).alias("hs"),
         )
     )
@@ -199,8 +208,11 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     r = k // bands
     sigs = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    # band key = the r signature values verbatim (concat-joined), NOT a
+    # hash of them: exact tuple equality has no collision-induced extra
+    # candidates and is reproducible in DuckDB (full oracle)
     band_cols = [
-        F.xxhash64(*[F.col(f"mh{band * r + j}") for j in range(r)]).alias(f"band{band}")
+        F.concat_ws("-", *[F.col(f"mh{band * r + j}") for j in range(r)]).alias(f"band{band}")
         for band in range(bands)
     ]
     banded = sigs.select("doc", *band_cols)

@@ -50,6 +50,8 @@ from .functions.text import (
     token_count,
 )
 from .operators.dedup import (
+    MERSENNE61,
+    _mh_constants,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1051,7 +1053,51 @@ def dedup_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(T(spark, sf_dir, "documents"), min_shared=2)
 
 
-@q("dedup_minhash_lsh")
+# MinHash signature oracle: same affine constants, same md5-derived
+# base hash mod 2^31, same Mersenne-61 modulus — DuckDB reproduces the
+# 64 signature minima, the 16 four-row band keys, the collision join
+# and the exact-Jaccard verify bit-for-bit.
+_MH_MINS = ",\n".join(
+    f"           MIN(({a} * h + {b}) % {MERSENNE61}) AS mh{i}"
+    for i, (a, b) in enumerate(_mh_constants(64))
+)
+_MH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band_idx, concat_ws('-', "
+    + ", ".join(f"mh{band * 4 + j}" for j in range(4))
+    + ") AS sig FROM sig"
+    for band in range(16)
+)
+
+
+@q(
+    "dedup_minhash_lsh",
+    _SHINGLE_CTE
+    + f""",
+    hs AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                    % 2147483648 AS h
+           FROM sh),
+    sig AS (SELECT doc_id,
+{_MH_MINS}
+            FROM hs GROUP BY 1),
+    bands AS ({_MH_BANDS}),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.sig = b.sig
+               AND a.doc_id < b.doc_id),
+    cinter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+               FROM cands c
+               JOIN sh x ON x.doc_id = c.doc_a
+               JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM cinter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.1
+    """,
+)
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.1)
 
