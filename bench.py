@@ -109,7 +109,7 @@ HEADLINE_QUERIES = [
     "ann_brute_force",
     "ann_gemm",
     "embedding_near_dup",
-    "embedding_near_dup_lsh",
+    "embedding_near_dup_auto",
     "district_price_analysis",
     "text_quality",
 ]

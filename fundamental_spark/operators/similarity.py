@@ -389,6 +389,75 @@ def embedding_near_dup_lsh_pairs(
     ).filter(F.col("cos") >= threshold)
 
 
+def plan_near_dup_config(
+    threshold: float,
+    recall_target: float = 0.9,
+    bg_keep_limit: float = 0.25,
+    max_planes: int = 63,
+) -> tuple[int, int] | None:
+    """Derive a banded-LSH config (r bits/band, bands) for a cosine
+    threshold, or None when banding cannot help.
+
+    Hyperplane LSH collision prob per bit is p = 1 - θ/π. A config
+    works iff (a) pairs AT the threshold survive ≥1 band with
+    probability ≥ recall_target, and (b) orthogonal background pairs
+    (p = 1/2, the bulk of a random corpus) collide with probability
+    ≤ bg_keep_limit — otherwise the "candidates" are the cross
+    product and exact scoring is strictly faster (the round-2 bench
+    defect: at threshold 0.4 every ≤63-plane config keeps >59% of
+    background, measured 13.4 s vs 2.7 s exact). Returns the cheapest
+    (fewest planes) config that satisfies both, scanning r=1..16;
+    max_planes=63 keeps the signature in one long."""
+    import math
+
+    t = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(t) / math.pi
+    best = None
+    for r in range(1, 17):
+        pr = p**r
+        if not 0.0 < pr < 1.0:
+            continue
+        b = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - pr))
+        if b < 1 or r * b > max_planes:
+            continue
+        bg = 1.0 - (1.0 - 0.5**r) ** b
+        if bg <= bg_keep_limit and (best is None or r * b < best[0] * best[1]):
+            best = (r, b)
+    return best
+
+
+def embedding_near_dup_auto(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    recall_target: float = 0.9,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Threshold-adaptive near-dup pairs: banded hyperplane LSH when a
+    config exists that both recalls at-threshold pairs and prunes the
+    orthogonal background (high thresholds), exact distributed scoring
+    otherwise (moderate thresholds, where banding keeps ~everything and
+    only adds signature+join overhead). The decision is a pure function
+    of the parameters (plan_near_dup_config), never of the data — the
+    chosen plan is deterministic for a given operating point."""
+    cfg = plan_near_dup_config(threshold, recall_target=recall_target)
+    if cfg is None:
+        return embedding_near_dup_pairs(
+            corpus, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    r, b = cfg
+    return embedding_near_dup_lsh_pairs(
+        corpus,
+        threshold=threshold,
+        n_planes=r * b,
+        bands=b,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,

@@ -138,3 +138,44 @@ def test_near_dup_lsh_recall_vs_exact(spark):
         .count()
     )
     assert cand_cnt < (n * (n - 1) / 2) * 0.25, cand_cnt
+
+
+def test_plan_near_dup_config_decision_rule():
+    """The dispatcher's config search: no workable banding at moderate
+    thresholds (exact wins), cheap high-recall configs at high ones."""
+    from fundamental_spark.operators.similarity import plan_near_dup_config
+
+    # threshold 0.4: every <=63-plane config either misses at-threshold
+    # pairs or keeps most of the orthogonal background -> None (exact)
+    assert plan_near_dup_config(0.4) is None
+    assert plan_near_dup_config(0.0) is None
+    # high thresholds: a config exists and satisfies both constraints
+    for t in (0.9, 0.95, 0.99):
+        cfg = plan_near_dup_config(t)
+        assert cfg is not None
+        r, b = cfg
+        assert 1 <= r <= 16 and r * b <= 63
+        p = 1 - math.acos(t) / math.pi
+        assert 1 - (1 - p**r) ** b >= 0.9          # recall at threshold
+        assert 1 - (1 - 0.5**r) ** b <= 0.25       # background pruning
+
+
+def test_near_dup_auto_dispatch(spark, vectors):
+    """Auto dispatch: exact plan (cartesian) at threshold 0.4, banded
+    LSH plan (band-key equi-join, no cartesian) at threshold 0.95 —
+    and at 0.4 its rows equal the exact operator's exactly."""
+    from fundamental_spark.operators.similarity import embedding_near_dup_auto
+
+    emb, dim = vectors
+    lo = embedding_near_dup_auto(emb, threshold=0.4)
+    lo_plan = lo._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in lo_plan or "NestedLoop" in lo_plan
+    exact_rows = sorted(map(tuple, embedding_near_dup_pairs(emb, threshold=0.4).collect()))
+    assert sorted(map(tuple, lo.collect())) == exact_rows
+
+    hi = embedding_near_dup_auto(emb, threshold=0.95, dim=dim)
+    hi_plan = hi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in hi_plan and "NestedLoop" not in hi_plan
+    assert "band_idx" in hi_plan  # the banded collision join
+    # the planted twin (0 ~ 200, cos ~ 1.0) survives the LSH branch
+    assert any(r["id_a"] == 0 and r["id_b"] == 200 for r in hi.collect())
