@@ -65,9 +65,12 @@ def media_refs(spans: Column) -> Column:
 
 
 def extract_price(jsonld: Column, text: Column) -> Column:
+    """P3: JSON-LD offers.price, else the € amount from text. The
+    pipeline strips '€', '.', AND ',' before int conversion
+    (pipelines.py:12-18) — '€ 1,250,000' and '€ 1.250.000' both parse."""
     from_ld = F.get_json_object(jsonld, "$.offers.price").cast("long")
-    from_text = _nn(F.regexp_extract(text, r"€\s*([\d.]+)", 1))
-    from_text = F.regexp_replace(from_text, r"\.", "").cast("long")
+    from_text = _nn(F.regexp_extract(text, r"€\s*([\d.,]+)", 1))
+    from_text = F.regexp_replace(from_text, r"[.,]", "").cast("long")
     return F.coalesce(from_ld, from_text)
 
 
@@ -85,8 +88,26 @@ def extract_year_built(text: Column) -> Column:
     return _nn(F.regexp_extract(text, r"Bouwjaar:?\s*(\d{4})", 1)).cast("int")
 
 
-def extract_energy_label(text: Column) -> Column:
+def extract_energy_label(text: Column, jsonld: Column | None = None) -> Column:
+    """P1, the reference's full 3-stage ladder (funda_spider.py:204-253):
+    (1) the dd/HTML label, (2) the JSON-LD blob regex
+    energy(Label|Data), (3) the description text — first stage that
+    yields wins; final [A-G](\\+{1,2})? whitelist applied to all (the
+    reference validates stages 1 and 3 this way; stage 2's raw capture
+    allows A+++ which the whitelist here also rejects)."""
     from_dd = _nn(F.regexp_extract(text, r"Energielabel:?\s*([A-G]\+{0,2})", 1))
+    stages = [from_dd]
+    if jsonld is not None:
+        from_ld = F.upper(
+            _nn(
+                F.regexp_extract(
+                    jsonld,
+                    r'(?i)["\']energy(?:Label|Data)["\']\s*:\s*["\']([A-Ga-g]\+*)["\']',
+                    1,
+                )
+            )
+        )
+        stages.append(from_ld)
     from_desc = F.upper(
         _nn(
             F.regexp_extract(
@@ -94,7 +115,8 @@ def extract_energy_label(text: Column) -> Column:
             )
         )
     )
-    label = F.coalesce(from_dd, from_desc)
+    stages.append(from_desc)
+    label = F.coalesce(*stages)
     return F.when(label.rlike(r"^[A-G](\+{1,2})?$"), label)  # validation whitelist
 
 
@@ -185,7 +207,7 @@ def extract_items(docs: DataFrame) -> DataFrame:
         F.when(selling.isNotNull(), F.lit("sold")).otherwise(F.lit("active")).alias("status"),
         extract_listing_date(ld, txt).alias("listing_date"),
         selling.alias("selling_date"),
-        extract_energy_label(txt).alias("energy_label"),
+        extract_energy_label(txt, ld).alias("energy_label"),
         F.size(media_refs(spans)).alias("n_media"),
         *[F.col(c) for c in extra],
     )

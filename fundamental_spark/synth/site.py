@@ -78,7 +78,9 @@ class Listing:
     # field-source knobs: exercise the extractor coalesce ladders
     price_in_jsonld: bool = True
     area_in_jsonld: bool = True
-    energy_in_dd: bool = True  # else only in description text
+    energy_in_dd: bool = True  # else JSON-LD (if energy_in_jsonld) or description
+    energy_in_jsonld: bool = False  # P1 middle stage: label ONLY in the JSON-LD blob
+    price_comma_fmt: bool = False  # P3: '€ 1,250,000' (comma thousands) in the dd text
     date_in_jsonld: bool = True  # else only 'Aangeboden sinds' Dutch date
 
     @property
@@ -137,6 +139,10 @@ def _jsonld_detail(l: Listing) -> str:
         obj["floorSize"] = {"value": l.living_area, "unitCode": "MTK"}
     if l.status == "sold" and l.selling_date:
         obj["dateSold"] = l.selling_date
+    if l.energy_label is not None and not l.energy_in_dd and l.energy_in_jsonld:
+        # the reference finds this via the energy(Label|Data) regex over
+        # the raw blob (funda_spider.py:225-242) — P1's middle stage
+        obj["energyLabel"] = l.energy_label
     return json.dumps(obj, separators=(",", ":"), sort_keys=True)
 
 
@@ -146,14 +152,16 @@ DESCRIPTION_LEN = 24  # overridable via build_site(description_words=...)
 def _description(rng: random.Random, l: Listing, n_words: int = 24) -> str:
     words = [DESCRIPTION_WORDS[rng.randrange(len(DESCRIPTION_WORDS))] for _ in range(n_words)]
     desc = " ".join(words)
-    if not l.energy_in_dd and l.energy_label:
+    if not l.energy_in_dd and not l.energy_in_jsonld and l.energy_label:
         # description-text energy fallback (funda_spider.py:246-257)
         desc += f" energielabel {l.energy_label.lower()} aanwezig"
     return desc
 
 
-def _fmt_price(price: int) -> str:
-    s = f"{price:,}".replace(",", ".")
+def _fmt_price(price: int, comma: bool = False) -> str:
+    # both thousands styles appear in the wild; the pipeline strips '.'
+    # AND ',' before int() (pipelines.py:12-18)
+    s = f"{price:,}" if comma else f"{price:,}".replace(",", ".")
     return f"€ {s} k.k."
 
 
@@ -175,7 +183,7 @@ def render_detail_html(rng: random.Random, l: Listing, description_words: int = 
     parts.append(f'<img src="{BASE}/media/{l.listing_id}_plattegrond.png">')
     dd: list[tuple[str, str]] = []
     if l.price is not None:
-        dd.append(("Vraagprijs", _fmt_price(l.price)))
+        dd.append(("Vraagprijs", _fmt_price(l.price, comma=l.price_comma_fmt)))
     if l.living_area is not None:
         dd.append(("Wonen", f"{l.living_area} m²"))
     if l.num_rooms is not None:
@@ -266,6 +274,7 @@ _SPEC_FIELDS = (
     "property_type", "postal_code", "price", "living_area", "num_rooms",
     "year_built", "energy_label", "listing_date_ord", "status",
     "selling_date_ord", "price_in_jsonld", "area_in_jsonld", "energy_in_dd",
+    "energy_in_jsonld", "price_comma_fmt",
     "date_in_jsonld",
 )
 
@@ -362,8 +371,10 @@ def build_site(
                 status="sold" if sold else "active",
                 selling_date_ord=(ldate + 10 + rng.randrange(120)) if sold else None,
                 price_in_jsonld=rng.random() > 0.3,
+                price_comma_fmt=rng.random() > 0.7,
                 area_in_jsonld=rng.random() > 0.3,
-                energy_in_dd=rng.random() > 0.3,
+                energy_in_dd=(x_energy := rng.random()) > 0.45,
+                energy_in_jsonld=0.25 < x_energy <= 0.45,
                 date_in_jsonld=rng.random() > 0.3,
             )
             city_listings.append(listing)

@@ -30,8 +30,14 @@ def extracted(spark):
 
 def test_price_ladder(extracted):
     rows, truth = extracted
+    # the fixture must exercise the comma-thousands dd format (P3:
+    # pipelines.py strips ',' as well as '.')
+    assert any(
+        l.price_comma_fmt and not l.price_in_jsonld and l.price is not None
+        for l in truth.values()
+    )
     for u, l in truth.items():
-        assert rows[u]["price"] == l.price, (u, l.price_in_jsonld)
+        assert rows[u]["price"] == l.price, (u, l.price_in_jsonld, l.price_comma_fmt)
 
 
 def test_living_area_ladder(extracted):
@@ -49,8 +55,16 @@ def test_rooms_and_year(extracted):
 
 def test_energy_label_three_stage(extracted):
     rows, truth = extracted
+    # all three ladder stages must be present in the fixture: dd label,
+    # JSON-LD-only (funda_spider.py:225-242), description-only
+    labelled = [l for l in truth.values() if l.energy_label is not None]
+    assert any(l.energy_in_dd for l in labelled)
+    assert any(not l.energy_in_dd and l.energy_in_jsonld for l in labelled)
+    assert any(not l.energy_in_dd and not l.energy_in_jsonld for l in labelled)
     for u, l in truth.items():
-        assert rows[u]["energy_label"] == l.energy_label, (u, l.energy_in_dd)
+        assert rows[u]["energy_label"] == l.energy_label, (
+            u, l.energy_in_dd, l.energy_in_jsonld,
+        )
 
 
 def test_dates_and_status(extracted):
