@@ -179,3 +179,33 @@ def test_near_dup_auto_dispatch(spark, vectors):
     assert "band_idx" in hi_plan  # the banded collision join
     # the planted twin (0 ~ 200, cos ~ 1.0) survives the LSH branch
     assert any(r["id_a"] == 0 and r["id_b"] == 200 for r in hi.collect())
+
+
+def test_kmeans_centroids_deterministic_and_converges(spark):
+    """Deterministic spherical k-means: planted 3-cluster data yields
+    one centroid per planted direction; repeated runs are identical."""
+    from fundamental_spark.operators.similarity import (
+        cosine,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(5)
+    dirs = [[1.0] + [0.0] * 7, [0.0] * 4 + [1.0] + [0.0] * 3, [0.0] * 7 + [1.0]]
+    rows = []
+    for i in range(120):
+        base = dirs[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.08) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    c1 = kmeans_centroids(emb, n_centroids=3, n_iters=4)
+    c2 = kmeans_centroids(emb, n_centroids=3, n_iters=4)
+    assert c1 == c2  # no RNG anywhere
+    for c in c1:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9  # unit-normalized
+    # every planted direction is recovered by some centroid (cos > 0.95)
+    for d in dirs:
+        best = max(
+            sum(x * y for x, y in zip(c, d)) / (sum(y * y for y in d) ** 0.5)
+            for c in c1
+        )
+        assert best > 0.95, (d, best)
