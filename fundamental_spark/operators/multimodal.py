@@ -138,21 +138,25 @@ def resize_thumbnails(
         for pdf in batches:
             if strict and not HAS_PIL:
                 raise NotImplementedError("real resize requires PIL")
-            widths, heights, thumbs = [], [], []
-            for _, row in pdf.iterrows():
-                w = row["meta"]["width"] or max_px
-                h = row["meta"]["height"] or max_px
-                scale = min(1.0, max_px / max(w, h))
-                widths.append(int(w * scale))
-                heights.append(int(h * scale))
-                thumbs.append((row["content"] or b"")[:64])  # fake payload
+            # vectorized width/height math over the whole Arrow batch;
+            # only the (stubbed) per-item byte slice stays Python-side
+            w = pd.to_numeric(
+                pdf["meta"].map(lambda m: m["width"]), errors="coerce"
+            ).fillna(max_px).to_numpy(dtype=float)
+            h = pd.to_numeric(
+                pdf["meta"].map(lambda m: m["height"]), errors="coerce"
+            ).fillna(max_px).to_numpy(dtype=float)
+            w = np.where(w > 0, w, max_px)
+            h = np.where(h > 0, h, max_px)
+            scale = np.minimum(1.0, max_px / np.maximum(w, h))
+            thumbs = [(c or b"")[:64] for c in pdf["content"]]  # fake payload
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "thumb": thumbs,
-                    "width": widths,
-                    "height": heights,
+                    "width": (w * scale).astype(int),
+                    "height": (h * scale).astype(int),
                 }
             )
 

@@ -76,6 +76,108 @@ def stream_ingest_documents(
     q.awaitTermination()
 
 
+def _fmt_thousands(c: F.Column) -> F.Column:
+    """telegram.go:133-144 formatNumber: %.0f then comma thousands."""
+    return F.format_number(F.round(c.cast("double"), 0), 0)
+
+
+def alert_message_html(
+    has_analysis: bool = True, has_prev_price: bool = False
+) -> F.Column:
+    """The assembled Telegram HTML message as ONE column expression —
+    the reference's NotifyNewProperty template (telegram.go:325-430)
+    over the alert-row columns. Transport stays stubbed (no network);
+    this is the formatter the sink would hand to sendMessage with
+    parse_mode=HTML.
+
+    Columns consumed: street, city, postal_code, price, living_area,
+    year_built, num_rooms, energy_label, url, status, republish_count;
+    with ``has_analysis``: price_per_sqm, active_median/count/rating,
+    sold_median/count/rating (with_district_analysis); with
+    ``has_prev_price``: prev_price (lifecycle.previous_price)."""
+    republished = F.col("status") == F.lit("republished")
+    rc = F.coalesce(F.col("republish_count"), F.lit(1))
+    title = (
+        F.when(
+            republished & (rc > 1),
+            F.format_string("<b>⚡ Property Republished! (%d times)</b>", rc),
+        )
+        .when(republished, F.lit("<b>⚡ Property Republished!</b>"))
+        .otherwise(F.lit("<b>New Property Listed!</b>"))
+    )
+
+    price = F.coalesce(F.col("price"), F.lit(0)).cast("double")
+    price_base = F.concat(F.lit("💰 €"), _fmt_thousands(price))
+    if has_prev_price:
+        prevp = F.col("prev_price").cast("double")
+        diff_pct = (price - prevp) / prevp * 100.0
+        arrow = F.when(price - prevp > 0, F.lit("📈")).otherwise(F.lit("📉"))
+        price_text = F.when(
+            republished & prevp.isNotNull() & (prevp > 0),
+            F.format_string(
+                "💰 €%s (%s %+.1f%% from €%s)",
+                _fmt_thousands(price), arrow, diff_pct, _fmt_thousands(prevp),
+            ),
+        ).otherwise(price_base)
+    else:
+        price_text = price_base
+
+    area = F.coalesce(F.col("living_area"), F.lit(0)).cast("double")
+    sqm_text = F.when(area > 0, _fmt_thousands(price / area)).otherwise(
+        F.lit("+Inf")  # Go's %.0f of price/0.0 — faithfully absurd
+    )
+
+    if has_analysis:
+        act_diff = (F.col("price_per_sqm") / F.col("active_median") - 1) * 100.0
+        act = F.when(
+            F.col("active_median") > 0,
+            F.format_string(
+                "Current listings (%d properties):\n<b>%s</b> (%+.1f%% vs. median)\n\n",
+                F.coalesce(F.col("active_count"), F.lit(0)).cast("long"),
+                F.col("active_rating"),
+                act_diff,
+            ),
+        ).otherwise(
+            F.lit("Current listings (0 properties):\nNo active listings for comparison\n\n")
+        )
+        sold_diff = (F.col("price_per_sqm") / F.col("sold_median") - 1) * 100.0
+        sold = F.when(
+            F.col("sold_median") > 0,
+            F.format_string(
+                "Past year sales (%d properties):\n<b>%s</b> (%+.1f%% vs. median)",
+                F.coalesce(F.col("sold_count"), F.lit(0)).cast("long"),
+                F.col("sold_rating"),
+                sold_diff,
+            ),
+        ).otherwise(F.lit("Past year sales (0 properties):\nNo recent sales for comparison"))
+        analysis = F.when(
+            (price > 0) & (area > 0),
+            F.concat(F.lit("📊 <u>District Analysis</u>\n"), act, sold),
+        ).otherwise(F.lit("N/A (price analysis unavailable)"))
+    else:
+        analysis = F.lit("N/A (price analysis unavailable)")
+
+    return F.concat(
+        title, F.lit("\n\n"),
+        F.lit("🏠 "), F.coalesce(F.col("street"), F.lit("")), F.lit("\n"),
+        F.lit("📍 "), F.coalesce(F.col("city"), F.lit("")), F.lit(", "),
+        F.coalesce(F.col("postal_code"), F.lit("Unknown")), F.lit("\n"),
+        price_text, F.lit("\n"),
+        F.lit("📐 "), F.coalesce(F.col("living_area").cast("string"), F.lit("0")),
+        F.lit(" m²\n"),
+        F.lit("💵 €"), sqm_text, F.lit("/m²\n"),
+        F.lit("🏗️ Built: "),
+        F.coalesce(F.col("year_built").cast("string"), F.lit("N/A")), F.lit("\n"),
+        F.lit("🚪 Rooms: "),
+        F.coalesce(F.col("num_rooms").cast("string"), F.lit("N/A")), F.lit("\n"),
+        F.lit("⚡ Energy label: "),
+        F.coalesce(F.col("energy_label"), F.lit("")), F.lit("\n\n"),
+        analysis, F.lit("\n\n"),
+        F.lit('🔗 <a href="'), F.coalesce(F.col("url"), F.lit("")),
+        F.lit('">View on Funda</a>'),
+    )
+
+
 def new_listing_alert_predicate(
     min_price: int | None = None,
     max_price: int | None = None,
@@ -163,6 +265,14 @@ def stream_new_listing_alerts(
                 "sold_count",
                 "sold_rating",
             ]
+        # the assembled sendMessage payload (telegram.go:325-430); new
+        # listings are never republished, so republish_count is 0 here
+        accepted = accepted.withColumn("republish_count", F.lit(0))
+        cols.append(
+            alert_message_html(
+                has_analysis=district_medians is not None
+            ).alias("message_html")
+        )
         accepted = accepted.select(*cols)
         if accepted.isEmpty():
             return

@@ -157,3 +157,66 @@ def test_stream_event_counts_matches_batch(spark, tmp_path):
     assert len(finalized) > 0
     for k, v in finalized.items():
         assert expected[k] == v
+
+
+def test_alert_message_html_matches_reference_template(spark):
+    """telegram.go:325-430 message assembly, checked against manually
+    rendered expectations of the Go template (incl. republish price
+    diff, zero-count analysis fallbacks, N/A paths)."""
+    from fundamental_spark.streaming.jobs import alert_message_html
+
+    rows = spark.createDataFrame(
+        [
+            # fully-populated active listing with analysis
+            ("u1", "Kerkstraat", "amsterdam", "1012 AB", 500_000, 100, 1990, 4,
+             "A", "https://x/1", "active", 0, None,
+             5000.0, 4000.0, 12, "HORRIBLE", 5200.0, 3, "NORMAL"),
+            # republished twice with a previous price drop
+            ("u2", "Dorpsweg", "utrecht", "3511 CD", 450_000, 90, None, None,
+             "B", "https://x/2", "republished", 2, 500_000,
+             5000.0, 0.0, 0, None, None, None, None),
+        ],
+        "id string, street string, city string, postal_code string, price long, "
+        "living_area int, year_built int, num_rooms int, energy_label string, "
+        "url string, status string, republish_count int, prev_price long, "
+        "price_per_sqm double, active_median double, active_count int, "
+        "active_rating string, sold_median double, sold_count int, sold_rating string",
+    )
+    out = {
+        r["id"]: r["msg"]
+        for r in rows.select(
+            "id",
+            alert_message_html(has_analysis=True, has_prev_price=True).alias("msg"),
+        ).collect()
+    }
+
+    assert out["u1"] == (
+        "<b>New Property Listed!</b>\n\n"
+        "🏠 Kerkstraat\n"
+        "📍 amsterdam, 1012 AB\n"
+        "💰 €500,000\n"
+        "📐 100 m²\n"
+        "💵 €5,000/m²\n"
+        "🏗️ Built: 1990\n"
+        "🚪 Rooms: 4\n"
+        "⚡ Energy label: A\n\n"
+        "📊 <u>District Analysis</u>\n"
+        "Current listings (12 properties):\n<b>HORRIBLE</b> (+25.0% vs. median)\n\n"
+        "Past year sales (3 properties):\n<b>NORMAL</b> (-3.8% vs. median)\n\n"
+        '🔗 <a href="https://x/1">View on Funda</a>'
+    )
+    assert out["u2"] == (
+        "<b>⚡ Property Republished! (2 times)</b>\n\n"
+        "🏠 Dorpsweg\n"
+        "📍 utrecht, 3511 CD\n"
+        "💰 €450,000 (📉 -10.0% from €500,000)\n"
+        "📐 90 m²\n"
+        "💵 €5,000/m²\n"
+        "🏗️ Built: N/A\n"
+        "🚪 Rooms: N/A\n"
+        "⚡ Energy label: B\n\n"
+        "📊 <u>District Analysis</u>\n"
+        "Current listings (0 properties):\nNo active listings for comparison\n\n"
+        "Past year sales (0 properties):\nNo recent sales for comparison\n\n"
+        '🔗 <a href="https://x/2">View on Funda</a>'
+    )
