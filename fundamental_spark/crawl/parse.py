@@ -28,6 +28,31 @@ def jsonld_blob(html: Column) -> Column:
     return F.regexp_extract(html, _LD_RE, 1)
 
 
+def resolve_href(page_url: Column, href: Column) -> Column:
+    """``response.urljoin`` twin (JVM-side) for the href shapes search
+    pages emit: absolute, protocol-relative (``//host/…`` takes the
+    page's scheme), root-relative (``/…`` onto the origin), query-only
+    (``?…`` onto the query-stripped page URL), and path-relative
+    (resolved against the page URL's directory). Parent-relative
+    ``../`` segments are NOT normalized — funda pages never emit them;
+    they resolve literally and the path filter drops them."""
+    scheme = F.regexp_extract(page_url, r"^(https?):", 1)
+    origin = F.regexp_extract(page_url, r"^(https?://[^/]+)", 1)
+    no_q = F.regexp_replace(page_url, r"[?#].*$", "")
+    pdir = F.regexp_extract(no_q, r"^(.*/)", 1)
+    # a bare origin ('https://host') has no path: its directory is '/'
+    pdir = F.when(
+        pdir == F.concat(scheme, F.lit("://")), F.concat(origin, F.lit("/"))
+    ).otherwise(pdir)
+    return (
+        F.when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("?"), F.concat(no_q, href))
+        .otherwise(F.concat(pdir, href))
+    )
+
+
 def listing_urls(
     html: Column, page_url: Column | None = None, path_filter: str = "/detail/koop/"
 ) -> Column:
@@ -57,17 +82,15 @@ def listing_urls(
         1,
     )
     if page_url is not None:
-        origin = F.regexp_extract(page_url, r"^(https?://[^/]+)", 1)
-        css = F.transform(
-            css,
-            lambda u: F.when(u.startswith("http"), u).otherwise(F.concat(origin, u)),
-        )
+        css = F.transform(css, lambda u: resolve_href(page_url, u))
     urls = F.array_union(from_ld, css)
     return F.filter(urls, lambda u: u.contains(path_filter))
 
 
-def next_page_url(html: Column) -> Column:
+def next_page_url(html: Column, page_url: Column | None = None) -> Column:
     u = F.regexp_extract(html, r'data-test-id="next-page-button" href="([^"]+)"', 1)
+    if page_url is not None:
+        u = F.when(u == "", u).otherwise(resolve_href(page_url, u))
     return F.when(u == "", F.lit(None).cast("string")).otherwise(u)
 
 
@@ -79,7 +102,7 @@ def parse_search_pages(
     h = F.col(html_col)
     return pages.withColumn(
         "listing_urls", listing_urls(h, F.col("url"), path_filter)
-    ).withColumn("next_page", next_page_url(h))
+    ).withColumn("next_page", next_page_url(h, F.col("url")))
 
 
 # ---------------------------------------------------------------------------

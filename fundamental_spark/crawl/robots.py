@@ -15,23 +15,46 @@ small file per domain) and compiles it into:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+@lru_cache(maxsize=1024)
+def _rule_regex(pattern: str) -> str:
+    """REP rule pattern -> anchored regex: '*' matches any sequence,
+    a TRAILING '$' anchors end-of-path (both common in real robots.txt
+    and previously matched literally, i.e. never); every other char is
+    literal. The same string is valid Python AND Java regex, so the
+    driver check and the JVM rlike agree."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch in ".^$+?{}()[]|\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored else "")
+
+
 @dataclass(frozen=True)
 class RobotsPolicy:
     crawl_delay: float | None
-    # (prefix, is_allow) — '' prefix matches everything
+    # (pattern, is_allow) — '' matches everything; '*'/'$' per REP
     rules: tuple[tuple[str, bool], ...]
 
     def allowed(self, path: str) -> bool:
         best: tuple[int, bool] | None = None
-        for prefix, is_allow in self.rules:
-            if path.startswith(prefix):
-                key = (len(prefix), is_allow)
+        for pattern, is_allow in self.rules:
+            if re.match(_rule_regex(pattern), path):
+                key = (len(pattern), is_allow)
                 if best is None or key > best:
                     best = key
         return True if best is None else best[1]
@@ -84,18 +107,23 @@ def url_path(url: Column) -> Column:
 
 def allowed_col(url: Column, policy: RobotsPolicy) -> Column:
     """Compile the (small, fixed) rule set into a JVM expression: rules
-    sorted by prefix length descending, Allow before Disallow at equal
-    length, first match decides; no rules -> allowed."""
+    sorted by pattern length descending, Allow before Disallow at equal
+    length, first match decides; no rules -> allowed. Plain prefixes
+    stay startswith (codegen string compare); patterns with '*' or a
+    trailing '$' become an rlike on the shared regex translation."""
     if not policy.rules:
         return F.lit(True)
     path = url_path(url)
-    # chain ordered longest-prefix-first (Allow first at equal length):
+    # chain ordered longest-pattern-first (Allow first at equal length):
     # the first matching WHEN decides; no match -> allowed
     chain = None
-    for prefix, is_allow in sorted(
+    for pattern, is_allow in sorted(
         policy.rules, key=lambda r: (-len(r[0]), not r[1])
     ):
-        cond = path.startswith(prefix)
+        if "*" in pattern or pattern.endswith("$"):
+            cond = path.rlike(_rule_regex(pattern))
+        else:
+            cond = path.startswith(pattern)
         chain = F.when(cond, F.lit(is_allow)) if chain is None else chain.when(
             cond, F.lit(is_allow)
         )

@@ -53,11 +53,14 @@ from .parse import parse_search_pages, parse_spans_udf
 from .politeness import PolitenessConfig, select_wave
 from .seen import filter_new_urls
 
-# F3 (funda_spider.py:88-90,190-192): a 200 response whose body carries
-# the bot-verification interstitial is DROPPED permanently — the
-# reference returns without yielding and Scrapy retries only the HTTP
-# codes in RETRY_HTTP_CODES, so no retry. (Only this one marker appears
-# in the reference.)
+# F3 (funda_spider.py:88-90,190-192): a 200 DETAIL response whose body
+# carries the bot-verification interstitial is DROPPED permanently —
+# parse_house returns without yielding and Scrapy retries only the HTTP
+# codes in RETRY_HTTP_CODES, so no retry. A blocked SEARCH page is NOT
+# dropped: the reference's parse() only checks the marker in the detail
+# parsers, so an interstitial search page flows through as a page with
+# zero listings — the empty-page counter and the manual ?page=N
+# fallback handle it. (Only this one marker appears in the reference.)
 BLOCK_MARKERS = ("Je bent bijna op de pagina die je zoekt",)
 
 
@@ -451,6 +454,8 @@ class CrawlRunner:
         blocked = F.lit(False)
         for marker in BLOCK_MARKERS:
             blocked = blocked | F.coalesce(F.col("html").contains(marker), F.lit(False))
+        # the blocked-drop applies to detail pages only (see BLOCK_MARKERS)
+        blocked = blocked & (F.col("kind") == "detail")
         # outcome classes, matching the reference's Scrapy stack:
         #   fetch_ok  — 200 with a real body
         #   retryable — transient HTTP failure (RETRY_HTTP_CODES); the
@@ -552,10 +557,14 @@ class CrawlRunner:
             )
             if self.politeness.autothrottle:
                 # AutoThrottle feedback: one tiny agg over the cached
-                # fetch outcome adjusts next wave's effective delay
+                # fetch outcome adjusts next wave's effective delay.
+                # Only RETRYABLE failures count — permanent misses (a
+                # past-the-end manual-pagination 404, a dropped
+                # interstitial) are not server distress and Scrapy's
+                # AutoThrottle never backs off on them
                 r = fetched.agg(
                     F.count(F.when(F.col("fetch_ok"), 1)).alias("ok"),
-                    F.count(F.when(~F.col("fetch_ok"), 1)).alias("failed"),
+                    F.count(F.when(F.col("retryable"), 1)).alias("failed"),
                 ).collect()[0]
                 self.politeness.observe_wave(r["ok"], r["failed"])
         mark("page_stats_collect")
@@ -686,11 +695,18 @@ class CrawlRunner:
         # --- seen set / refreshed urls -----------------------------------------
         if self.mode == "refresh":
             seen_add = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+            # cross-wave dedup: a URL listed on search pages of several
+            # waves (listings shifting between pages) must land in
+            # refreshed_urls ONCE, like the reference's active_urls SET
+            # (funda_spider.py:488-504) — anti-join against the deltas
+            # already appended (intra-wave dedup happened above)
             refreshed = new_cands.select(
                 "url",
                 "city",
                 F.col("discovered_on_page").alias("found_on_page"),
                 F.lit(wave).alias("wave"),
+            ).join(
+                self._read_deltas("refreshed_urls").select("url"), "url", "left_anti"
             )
         else:
             seen_add = new_cands.select(
@@ -785,7 +801,7 @@ class CrawlRunner:
         # compact the delta tables that are re-read EVERY wave, up to the
         # version the checkpoint just pinned (never past a durable commit:
         # resume rolls back only to >= the floor, contract kept)
-        for name in ("url_seen", "response_cache"):
+        for name in ("url_seen", "response_cache", "refreshed_urls"):
             v = self._versions.get(name)
             if v is not None and v - self.wh.compaction_floor(name) >= self.compact_every:
                 self.wh.compact_deltas(name, upto=v)

@@ -325,6 +325,7 @@ def build_site(
     omit_next_button_pages: tuple[int, ...] = (),
     manual_aliases: bool = True,
     blocked_listing_every: int = 0,
+    blocked_search_pages: tuple[int, ...] = (),
     project_urls_per_city: int = 0,
 ) -> SyntheticSite:
     """Build the deterministic site. ``empty_tail_pages`` appends pages with
@@ -406,6 +407,8 @@ def build_site(
                     False if page_no in omit_next_button_pages else None
                 ),
             )
+            if page_no in blocked_search_pages:
+                html = BLOCKED_HTML
             site.search_pages[pages[page_no - 1][0]] = html
             if manual_aliases and page_no >= 2:
                 site.search_pages[site.manual_url(city, page_no)] = html

@@ -200,3 +200,64 @@ def test_bloom_and_exact_paths_agree(spark, tmp_path):
     r2 = _run(spark, tmp_path / "b", site, "active", existing=existing, use_bloom=False)
     _assert_equivalent(r1, sim)
     _assert_equivalent(r2, sim)
+
+
+def test_blocked_search_page_keeps_paginating(spark, tmp_path):
+    """A 200-interstitial SEARCH page is NOT dropped: the reference's
+    parse() only checks the marker in the detail parsers, so such a
+    page flows through as a zero-listing page — the empty-page counter
+    ticks and the manual ?page=N fallback keeps the chain alive (pages
+    after the blocked one are still crawled). Full equivalence vs the
+    reference simulation."""
+    site = build_site(seed=67, cities=("leiden",), listings_per_city=40,
+                      page_size=10, blocked_search_pages=(2,))
+    runner = _run(spark, tmp_path, site)
+    sim = simulate_crawl(site)
+    _assert_equivalent(runner, sim)
+    # pages 3 and 4 were reached (the chain survived the blocked page 2)
+    reached = {
+        r["discovered_on_page"]
+        for r in runner.table("crawl_log")
+        .filter("kind = 'search'").select("discovered_on_page").collect()
+    }
+    assert {0, 1, 2, 3}.issubset(reached)  # 0-based: pages 1..4 fetched
+    # and the blocked page itself is logged as fetched, not dropped
+    # (the only dropped search row is the past-the-end manual 404)
+    blocked_url = site.pages_by_city["leiden"][1][0]
+    states = {
+        r["url"]: r["state"]
+        for r in runner.table("frontier_done").filter("kind = 'search'").collect()
+    }
+    assert states[blocked_url] == "fetched"
+
+
+def test_resolve_href_urljoin_shapes(spark):
+    """response.urljoin twin: absolute, protocol-relative, root-relative,
+    query-only and path-relative hrefs all resolve like urllib's urljoin
+    (the shapes real pages emit; ../ is out of contract)."""
+    from urllib.parse import urljoin
+
+    from pyspark.sql import functions as F
+
+    from fundamental_spark.crawl.parse import resolve_href
+
+    page = "https://www.funda.nl/zoeken/koop?selected_area=x&sort=date_down"
+    hrefs = [
+        "https://other.nl/detail/koop/a/1/",
+        "//cdn.funda.nl/detail/koop/b/2/",
+        "/detail/koop/c/3/",
+        "?search_result=2",
+        "detail/koop/d/4/",
+    ]
+    df = spark.createDataFrame([(page, h) for h in hrefs], "page string, href string")
+    got = [
+        r["out"]
+        for r in df.select(
+            resolve_href(F.col("page"), F.col("href")).alias("out")
+        ).collect()
+    ]
+    assert got == [urljoin(page, h) for h in hrefs]
+    # bare-origin page: path-relative resolves onto '/'
+    df2 = spark.createDataFrame([("https://www.funda.nl", "detail/x/")], "page string, href string")
+    assert df2.select(resolve_href(F.col("page"), F.col("href")).alias("o")).first()["o"] \
+        == urljoin("https://www.funda.nl", "detail/x/")

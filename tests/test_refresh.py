@@ -129,3 +129,27 @@ def test_refresh_resumes_exactly_mid_run(spark, tmp_path, refresh_site):
     r2.run()
     got = {(r["city"], r["url"]) for r in r2.table("refreshed_urls").collect()}
     assert got == want
+
+
+def test_refreshed_urls_deduped_across_waves(spark, tmp_path):
+    """A URL listed on search pages of DIFFERENT waves (listings shift
+    between pages mid-crawl) must land in refreshed_urls once — the
+    reference's active_urls is a set (funda_spider.py:488-504), so the
+    table has set semantics, not bag semantics."""
+    from fundamental_spark.synth.site import render_search_html
+
+    site = build_site(seed=47, cities=("nijmegen",), listings_per_city=20,
+                      page_size=10)
+    # page 2 re-lists page 1's urls (rendered without a next button so
+    # the refresh pass stops there)
+    url2 = site.search_url("nijmegen", 2)
+    site.search_pages[url2] = render_search_html(
+        site, "nijmegen", 1, include_next=False
+    ).replace(site.search_url("nijmegen", 2), "")  # drop page-1's next link
+    runner = _run_refresh(spark, tmp_path, site)
+    rows = runner.table("refreshed_urls").collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))          # set semantics
+    assert set(urls) == set(site.pages_by_city["nijmegen"][0][1])
+    # the duplicate sightings were on wave 2; first-seen wave is kept
+    assert all(r["wave"] == 1 for r in rows)

@@ -133,3 +133,65 @@ def test_autothrottle_backoff_and_recovery(spark, tmp_path):
     assert delays[-1] < delays[1]
     # the crawl still completes fully despite throttling
     assert runner.table("documents").count() == 40
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    """REP wildcard patterns: '*' mid-path and '$' end anchors must
+    actually match (previously they were compared literally and so
+    never fired) — driver check and JVM column agree."""
+    from pyspark.sql import functions as F
+
+    from fundamental_spark.crawl.robots import allowed_col, parse_robots
+
+    txt = """
+User-agent: *
+Disallow: /koop/*/print/
+Disallow: /*.pdf$
+Allow: /koop/amsterdam/print/
+Disallow: /exact$
+"""
+    pol = parse_robots(txt)
+    cases = {
+        "/koop/utrecht/print/x": False,      # '*' spans one segment
+        "/koop/a/b/print/": False,           # ... or several
+        "/koop/utrecht/huis-1/": True,
+        "/koop/amsterdam/print/x": True,     # longer Allow wins
+        "/brochure.pdf": False,              # '$' anchors the end
+        "/brochure.pdf/viewer": True,        # not at the end -> no match
+        "/exact": False,
+        "/exact/sub": True,                  # '$' rule doesn't prefix-match
+    }
+    for path, want in cases.items():
+        assert pol.allowed(path) is want, path
+    df = spark.createDataFrame(
+        [(f"https://www.funda.nl{p}",) for p in cases], "url string"
+    )
+    got = {
+        r["url"]: r["ok"]
+        for r in df.select("url", allowed_col(F.col("url"), pol).alias("ok")).collect()
+    }
+    for path, want in cases.items():
+        assert got[f"https://www.funda.nl{path}"] is want, path
+
+
+def test_autothrottle_ignores_permanent_misses(spark, tmp_path):
+    """A wave whose only failures are permanent drops (the past-the-end
+    manual-pagination 404) must NOT back off — Scrapy's AutoThrottle
+    reacts to retryable server distress, not to 404s."""
+    # page 2 has no next button and no manual alias -> the crawler tries
+    # the constructed ?page=3 URL, which 404s (permanent miss)
+    site = build_site(seed=79, cities=("gouda",), listings_per_city=20,
+                      page_size=10, omit_next_button_pages=(2,),
+                      manual_aliases=False, empty_tail_pages=0)
+    web = spark.createDataFrame(web_rows(site), "url string, html string")
+    cfg = PolitenessConfig(crawl_delay_s=2.0, autothrottle=True)
+    runner = CrawlRunner(
+        spark=spark, warehouse_root=str(tmp_path / "wh"), web=web,
+        politeness=cfg, wave_seconds=60.0,
+    )
+    runner.init([(site.search_url("gouda", 1), "gouda")])
+    runner.run()
+    # the 404 wave happened (manual page 3 tried) but delay never rose
+    tried = {r["url"] for r in runner.table("frontier_done").collect()}
+    assert f"{site.search_url('gouda', 1)}&page=3" in tried
+    assert cfg.effective_delay() == 2.0
