@@ -91,7 +91,105 @@ def main() -> None:
         result["dedup"] = timings
         shutil.rmtree(BIG_DIR, ignore_errors=True)
 
+        # near-dup-heavy leg: the regime real crawl corpora live in.
+        # 1000 source docs x 10 replicas, each replica = the source text
+        # plus 3 replica-unique trailing tokens -> replicas share ALL
+        # source shingles (jaccard ~ S/(S+6), well above threshold).
+        # Shingle document frequency rises 10x, so the exact inverted-
+        # index join pays (10 x df)^2 per shingle (~100x) while
+        # MinHash-LSH pays per-candidate only — the crossover that makes
+        # LSH the 100 TB path.
+        result["neardup"] = neardup_leg(spark, src_dir)
+
     print(json.dumps(result))
+
+
+def neardup_leg(spark, src_dir: str, n_src: int = 1000) -> dict:
+    from pyspark.sql import functions as F
+
+    from fundamental_spark.queries import SPARK_QUERIES
+
+    src = (
+        spark.read.parquet(f"{src_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(n_src)
+    )
+    parts = []
+    for k in range(REPLICAS):
+        parts.append(
+            src.select(
+                F.concat(F.col("doc_id"), F.lit(f"#n{k}")).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(f" uq{k}a uq{k}b uq{k}c")
+                ).alias("text"),
+                *[c for c in src.columns if c not in ("doc_id", "text")],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    out_dir = os.path.join(BIG_DIR + "_neardup", "")
+    out = os.path.join(out_dir, "documents.parquet")
+    big.repartition(64).write.mode("overwrite").parquet(out)
+    timings: dict[str, dict] = {"n_docs": n_src * REPLICAS}
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        t0 = time.perf_counter()
+        rows = SPARK_QUERIES[name](spark, out_dir.rstrip("/")).count()
+        timings[name] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": rows,
+        }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return timings
+
+
+def boilerplate_leg(spark, src_dir: str, n_src: int = 1000) -> dict:
+    """The regime that makes MinHash-LSH the web-scale plan: every page
+    shares a small boilerplate block (nav/footer text — universal in
+    crawl corpora). Its shingles have df = n, so the exact inverted-
+    index join materializes df² = n² intermediate rows PER boilerplate
+    shingle (4 x 10^8 here; quadratic in corpus size), while the LSH
+    signature treats boilerplate as 4 more shingles per doc and its
+    banded candidates stay proportional to TRUE near-dup pairs (the
+    boilerplate lifts the jaccard floor to ~0.04, under threshold)."""
+    from pyspark.sql import functions as F
+
+    from fundamental_spark.queries import SPARK_QUERIES
+
+    src = (
+        spark.read.parquet(f"{src_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(n_src)
+    )
+    boiler = " funda nl alle rechten voorbehouden 2024"  # 6 tokens -> 4 shingles
+    parts = []
+    for k in range(REPLICAS):
+        parts.append(
+            src.select(
+                F.concat(F.col("doc_id"), F.lit(f"#b{k}")).alias("doc_id"),
+                F.concat(
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"$1b{k}"),
+                    F.lit(boiler),
+                ).alias("text"),
+                *[c for c in src.columns if c not in ("doc_id", "text")],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    out_dir = os.path.join(BIG_DIR + "_boiler", "")
+    out = os.path.join(out_dir, "documents.parquet")
+    big.repartition(64).write.mode("overwrite").parquet(out)
+    timings: dict[str, dict] = {"n_docs": n_src * REPLICAS}
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        t0 = time.perf_counter()
+        rows = SPARK_QUERIES[name](spark, out_dir.rstrip("/")).count()
+        timings[name] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": rows,
+        }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return timings
 
 
 if __name__ == "__main__":

@@ -110,8 +110,7 @@ def main() -> None:
     skew = round(max(counts) / (sum(counts) / len(counts)), 3) if counts else None
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write(SCALING_TEMPLATE.format(
+    section = (SCALING_TEMPLATE.format(
             n=n, n4=n4,
             pages=best[n]["crawl"]["pages"],
             waves=best[n]["crawl"]["waves"],
@@ -124,13 +123,26 @@ def main() -> None:
             skew=skew,
             n_shards=len(counts),
         ))
+    # splice between markers so hand-written sections of the file survive
+    begin, end = "<!-- SCALING:BEGIN -->", "<!-- SCALING:END -->"
+    if os.path.exists(args.out):
+        cur = open(args.out).read()
+        if begin in cur and end in cur:
+            pre, rest = cur.split(begin, 1)
+            _, post = rest.split(end, 1)
+            cur = pre + section + post
+        else:
+            cur = cur.rstrip() + "\n\n" + section + "\n"
+    else:
+        cur = "# BENCH/BASELINE — measured numbers\n\n" + section + "\n"
+    with open(args.out, "w") as f:
+        f.write(cur)
     summary = {"n": n, "4n": n4, "throughput_n": thr_n, "throughput_4n": thr_4n,
                "efficiency": eff, "skew_max_over_mean": skew}
     print(json.dumps(summary))
 
 
-SCALING_TEMPLATE = """# BENCH/BASELINE — measured numbers
-
+SCALING_TEMPLATE = """<!-- SCALING:BEGIN -->
 ## Scaling criterion (north_rule): throughput efficiency N -> 4N
 
 Identical input (synthetic funda-style frontier, {pages} pages over
@@ -175,7 +187,7 @@ engine honors the same budget logically (wave-level top-k caps) while the
 *capacity* measured above is >1000 pages/s per node - politeness, not
 engine throughput, is the binding constraint at deployment, and capacity
 scales with executors as evidenced.
-"""
+<!-- SCALING:END -->"""
 
 
 if __name__ == "__main__":
