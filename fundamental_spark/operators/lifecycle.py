@@ -78,8 +78,9 @@ def upsert_properties(wh: Warehouse, items: DataFrame, wave: int) -> None:
     wh.merge_upsert("properties", batch, key="url", schema=schema,
                     when_matched_update=when_matched)
 
-    # history rows reflect the post-merge status for the batch keys
-    merged = wh.read("properties").join(batch.select("url"), "url", "left_semi")
+    # history rows reflect the post-merge status for the batch keys;
+    # read_matching prunes the read to the buckets the merge touched
+    merged = wh.read_matching("properties", batch.select("url"), key="url")
     hist = merged.select("url", "status", "price", "listing_date",
                          F.lit(wave).alias("wave"))
     wh.append_delta("property_history", hist)
@@ -94,17 +95,15 @@ def _apply_inactive(wh: Warehouse, stale: DataFrame, wave: int) -> int:
     n = stale.count()
     if n == 0:
         return 0
-    props = wh.read("properties")
-    batch = (
-        props.join(stale.select("url"), "url", "left_semi")
-        .withColumn("status", F.lit("inactive"))
-    )
     wh.ensure_bucketed("properties", key="url", n_buckets=PROPERTIES_BUCKETS)
-    wh.merge_upsert("properties", batch, key="url", schema=_props_schema(props.sparkSession))
-    hist = (
-        wh.read("properties")
-        .join(stale, "url", "left_semi")
-        .select("url", "status", "price", "listing_date", F.lit(wave).alias("wave"))
+    batch = wh.read_matching("properties", stale.select("url"), key="url").withColumn(
+        "status", F.lit("inactive")
+    )
+    wh.merge_upsert(
+        "properties", batch, key="url", schema=_props_schema(batch.sparkSession)
+    )
+    hist = wh.read_matching("properties", stale.select("url"), key="url").select(
+        "url", "status", "price", "listing_date", F.lit(wave).alias("wave")
     )
     wh.append_delta("property_history", hist)
     return n

@@ -215,6 +215,29 @@ class Warehouse:
             return df.drop(BUCKET_COL)
         return self.spark.read.parquet(self._snapshot_dir(name, v))
 
+    def read_matching(self, name: str, keys: DataFrame, key: str) -> DataFrame:
+        """Rows of `name` whose `key` appears in `keys` — on a bucketed
+        table this reads ONLY the buckets containing the requested keys
+        (Iceberg partition pruning on bucket(key)), then semi-joins;
+        per-batch read cost O(touched buckets), not O(table)."""
+        meta = self.bucket_meta(name)
+        v = self.current_version(name)
+        if meta is None or v <= 0 or meta["key"] != key or not os.path.exists(
+            self._manifest_path(name, v)
+        ):
+            base = self.read(name) if v > 0 else None
+            if base is None:
+                raise FileNotFoundError(f"table {name} has no snapshot")
+            return base.join(keys.select(key), key, "left_semi")
+        keys_b = self._with_bucket(keys.select(key), meta)
+        touched = sorted(
+            r[BUCKET_COL] for r in keys_b.select(BUCKET_COL).distinct().collect()
+        )
+        df = self._read_buckets(name, self._read_manifest(name, v), buckets=touched)
+        if df is None:
+            return self.spark.createDataFrame([], self._manifest_schema(name, v))
+        return df.drop(BUCKET_COL).join(keys.select(key), key, "left_semi")
+
     def read_or_empty(self, name: str, schema: StructType) -> DataFrame:
         if self.exists(name):
             return self.read(name)

@@ -210,3 +210,28 @@ def test_crawl_with_compaction_equals_without_and_resumes(spark, tmp_path):
     # the url_seen dir listing stayed bounded by compact_every
     v = resumed._versions["url_seen"]
     assert v - resumed.wh.compaction_floor("url_seen") <= 2 * 2
+
+
+def test_read_matching_prunes_to_touched_buckets(spark, tmp_path):
+    """read_matching on a bucketed table must read only the buckets
+    containing the requested keys — same rows as a full-scan semi-join,
+    far fewer input files."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.ensure_bucketed("t", key="url", n_buckets=20)
+    wh.merge_upsert("t", _rows(spark, 2000), key="url", schema=_schema(spark))
+    keys = _rows(spark, 3).select("url")
+    got = sorted(map(tuple, wh.read_matching("t", keys, key="url").collect()))
+    want = sorted(
+        map(tuple, wh.read("t").join(keys, "url", "left_semi").collect())
+    )
+    assert got == want and len(got) == 3
+    # pruning: the matching read's scan covers <= 3 of 20 bucket dirs
+    plan = wh.read_matching("t", keys, key="url")._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    # count bucket dirs mentioned in the scan's location list
+    assert plan.count("bkt=") <= 3 or "3 paths" in plan
+    # flat tables fall back to full-scan semi-join (same answer)
+    wh.overwrite("flat", _rows(spark, 100))
+    got2 = wh.read_matching("flat", keys, key="url").count()
+    assert got2 == 3
