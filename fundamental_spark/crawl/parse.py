@@ -28,14 +28,12 @@ def jsonld_blob(html: Column) -> Column:
     return F.regexp_extract(html, _LD_RE, 1)
 
 
-def resolve_href(page_url: Column, href: Column) -> Column:
-    """``response.urljoin`` twin (JVM-side) for the href shapes search
-    pages emit: absolute, protocol-relative (``//host/…`` takes the
-    page's scheme), root-relative (``/…`` onto the origin), query-only
-    (``?…`` onto the query-stripped page URL), and path-relative
-    (resolved against the page URL's directory). Parent-relative
-    ``../`` segments are NOT normalized — funda pages never emit them;
-    they resolve literally and the path filter drops them."""
+def _page_url_parts(page_url: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, origin, query-stripped url, directory) of a page URL —
+    the per-page context ``response.urljoin`` resolves against. Hoist
+    these ONCE PER PAGE (parse_search_pages stages them as columns):
+    an expression built inside the per-href transform lambda would be
+    re-evaluated per element — 4 regexps × #hrefs instead of 4."""
     scheme = F.regexp_extract(page_url, r"^(https?):", 1)
     origin = F.regexp_extract(page_url, r"^(https?://[^/]+)", 1)
     no_q = F.regexp_replace(page_url, r"[?#].*$", "")
@@ -44,6 +42,13 @@ def resolve_href(page_url: Column, href: Column) -> Column:
     pdir = F.when(
         pdir == F.concat(scheme, F.lit("://")), F.concat(origin, F.lit("/"))
     ).otherwise(pdir)
+    return scheme, origin, no_q, pdir
+
+
+def _resolve_with(
+    parts: tuple[Column, Column, Column, Column], href: Column
+) -> Column:
+    scheme, origin, no_q, pdir = parts
     return (
         F.when(href.rlike(r"^https?://"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
@@ -53,8 +58,22 @@ def resolve_href(page_url: Column, href: Column) -> Column:
     )
 
 
+def resolve_href(page_url: Column, href: Column) -> Column:
+    """``response.urljoin`` twin (JVM-side) for the href shapes search
+    pages emit: absolute, protocol-relative (``//host/…`` takes the
+    page's scheme), root-relative (``/…`` onto the origin), query-only
+    (``?…`` onto the query-stripped page URL), and path-relative
+    (resolved against the page URL's directory). Parent-relative
+    ``../`` segments are NOT normalized — funda pages never emit them;
+    they resolve literally and the path filter drops them."""
+    return _resolve_with(_page_url_parts(page_url), href)
+
+
 def listing_urls(
-    html: Column, page_url: Column | None = None, path_filter: str = "/detail/koop/"
+    html: Column,
+    page_url: Column | None = None,
+    path_filter: str = "/detail/koop/",
+    parts: tuple[Column, Column, Column, Column] | None = None,
 ) -> Column:
     """Listing URLs from a search page, matching funda_spider.py:94-119:
     the JSON-LD ItemList URLs (:96-107) are ALWAYS unioned with the two
@@ -81,15 +100,23 @@ def listing_urls(
         ),
         1,
     )
-    if page_url is not None:
+    if parts is not None:
+        css = F.transform(css, lambda u: _resolve_with(parts, u))
+    elif page_url is not None:
         css = F.transform(css, lambda u: resolve_href(page_url, u))
     urls = F.array_union(from_ld, css)
     return F.filter(urls, lambda u: u.contains(path_filter))
 
 
-def next_page_url(html: Column, page_url: Column | None = None) -> Column:
+def next_page_url(
+    html: Column,
+    page_url: Column | None = None,
+    parts: tuple[Column, Column, Column, Column] | None = None,
+) -> Column:
     u = F.regexp_extract(html, r'data-test-id="next-page-button" href="([^"]+)"', 1)
-    if page_url is not None:
+    if parts is not None:
+        u = F.when(u == "", u).otherwise(_resolve_with(parts, u))
+    elif page_url is not None:
         u = F.when(u == "", u).otherwise(resolve_href(page_url, u))
     return F.when(u == "", F.lit(None).cast("string")).otherwise(u)
 
@@ -100,9 +127,23 @@ def parse_search_pages(
     """pages(+html) -> one row per page with ordered candidate listing
     urls and the next-page url. Downstream: posexplode(listing_urls)."""
     h = F.col(html_col)
-    return pages.withColumn(
-        "listing_urls", listing_urls(h, F.col("url"), path_filter)
-    ).withColumn("next_page", next_page_url(h, F.col("url")))
+    # stage the per-page urljoin context ONCE (see _page_url_parts);
+    # the per-href lambdas then read attributes, not regexp pipelines
+    scheme, origin, no_q, pdir = _page_url_parts(F.col("url"))
+    staged = (
+        pages.withColumn("_rs", scheme)
+        .withColumn("_ro", origin)
+        .withColumn("_rq", no_q)
+        .withColumn("_rd", pdir)
+    )
+    parts = (F.col("_rs"), F.col("_ro"), F.col("_rq"), F.col("_rd"))
+    return (
+        staged.withColumn(
+            "listing_urls", listing_urls(h, path_filter=path_filter, parts=parts)
+        )
+        .withColumn("next_page", next_page_url(h, parts=parts))
+        .drop("_rs", "_ro", "_rq", "_rd")
+    )
 
 
 # ---------------------------------------------------------------------------

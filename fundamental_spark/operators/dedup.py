@@ -383,3 +383,89 @@ def simhash_pairs(
     return cands.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """(v, component) for an undirected graph — iterative min-label
+    propagation, the dedup-cluster assignment step: near-dup PAIRS
+    become CLUSTERS, and the pipeline keeps one representative (the
+    min id) per cluster.
+
+    Each round is one shuffle (propagate the min neighbor label, one
+    groupBy) and converges in O(graph diameter) rounds — near-dup
+    graphs are unions of small cliques, so a handful. Lineage is
+    truncated per round with localCheckpoint (an iterative plan would
+    otherwise grow unboundedly; a cluster deployment would point this
+    at a checkpoint dir instead). Labels are ids, so min-propagation is
+    deterministic and reproducible in SQL (the DuckDB recursive-CTE
+    twin in queries.dedup_clusters).
+
+    edges: (doc_a, doc_b) — direction ignored; vertices: (doc) — rows
+    with no edge stay singleton components.
+    """
+    half = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    e = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = vertices.select(F.col("doc").alias("v"), F.col("doc").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = (
+            e.join(
+                labels.select(F.col("v").alias("src"), F.col("label").alias("nl")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("nl").alias("nl"))
+            .withColumnRenamed("dst", "v")
+        )
+        new_labels = labels.join(prop, "v", "left").select(
+            "v", F.least("label", F.coalesce("nl", "label")).alias("label")
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels
+
+
+def dedup_cluster_assignment(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per document with its near-dup cluster: (doc_id,
+    cluster_id = min doc_id reachable through exact n-gram-Jaccard
+    pairs >= threshold, cluster_size, keep = is-representative). The
+    'keep one per cluster' step every dedup pipeline ends with."""
+    edges = ngram_jaccard_pairs(
+        docs, threshold=threshold, n=n, id_col=id_col, text_col=text_col
+    ).select("doc_a", "doc_b")
+    vertices = docs.select(F.col(id_col).alias("doc"))
+    comp = connected_components(edges, vertices)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
+    return comp.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("v") == F.col("label")).alias("keep"),
+    )

@@ -52,6 +52,7 @@ from .functions.text import (
 from .operators.dedup import (
     MERSENNE61,
     _mh_constants,
+    dedup_cluster_assignment,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1101,6 +1102,44 @@ _MH_BANDS = " UNION ALL ".join(
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.1)
+
+
+# connected components as a recursive CTE: DuckDB computes every label
+# reachable from each doc through the (undirected) near-dup pair edges
+# and keeps the minimum — exactly the fixpoint the Spark min-label
+# propagation loop converges to.
+_CLUSTER_CTE = _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+
+
+@q(
+    "dedup_clusters",
+    _CLUSTER_CTE
+    + """,
+    jpairs AS (SELECT doc_a, doc_b
+               FROM pairs
+               JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+               WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    reach AS (SELECT doc_id AS v, doc_id AS lab FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v),
+    comp AS (SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM comp
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment (the keep-one-per-cluster step every
+    dedup pipeline ends with): iterative min-label propagation over the
+    exact-Jaccard pair graph — a genuinely iterative DataFrame
+    algorithm (one shuffle per round, O(diameter) rounds,
+    localCheckpoint lineage truncation) with a full recursive-CTE
+    DuckDB oracle."""
+    return dedup_cluster_assignment(T(spark, sf_dir, "documents"), threshold=0.1)
 
 
 _SIMHASH_VOTES = ",\n".join(

@@ -102,3 +102,44 @@ def test_simhash_hamming(planted, spark):
     }
     assert pairs[("dup_a", "dup_b")] == 0
     assert ("dup_a", "near_a") in pairs  # one-word mutation stays within 3 bits
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation: chains, cliques and singletons resolve to
+    the right components; keep-flag marks exactly one rep per cluster."""
+    from fundamental_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain a-b-c (diameter 2), pair x-y, singleton z has no edge
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    vertices = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], "doc string"
+    )
+    got = {r["v"]: r["label"] for r in connected_components(edges, vertices).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_dedup_cluster_assignment(planted):
+    """Cluster assignment over the planted near-dup fixture: every
+    jaccard pair lands in one cluster, cluster_id is the min member,
+    exactly one keep per cluster, sizes consistent."""
+    from fundamental_spark.operators.dedup import dedup_cluster_assignment
+
+    rows = dedup_cluster_assignment(planted, threshold=0.3).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(planted, threshold=0.3).collect()
+    }
+    assert pairs  # fixture has near-dups
+    for a, b in pairs:
+        assert by_doc[a]["cluster_id"] == by_doc[b]["cluster_id"]
+    clusters: dict[str, list] = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(1 for m in members if m["keep"]) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
