@@ -35,12 +35,10 @@ import time
 
 WORKLOAD = {
     "FS_BENCH_EXEC_RENDER": "1",
-    # 1000 cities x 800 listings = 804k pages in ~160k-page waves: wave
-    # size approximates the 10^10-frontier regime the north rule
-    # targets, where per-wave driver orchestration amortizes to noise.
-    # (After the page renderer got 8x cheaper, the old 402k-page legs
-    # were short enough for fixed per-wave cost to cap the 4N leg.)
-    "FS_BENCH_CITIES": "1000",
+    # (A 2x-bigger 804k-page workload was also measured in r3: same
+    # per-leg throughput at both core counts - per-wave overhead is NOT
+    # what caps the 4N leg; the single box's memory bandwidth is.)
+    "FS_BENCH_CITIES": "500",
     "FS_BENCH_LISTINGS": "800",
     "FS_BENCH_PAGE_SIZE": "200",
     "FS_BENCH_DESC_WORDS": "6000",
