@@ -178,26 +178,49 @@ SPANS_TYPE = ArrayType(
 )
 
 
+def parse_spans_columnar(
+    htmls: list,
+) -> tuple[list[int], list[str], list, list, list[int]]:
+    """Columnar span parse: one pass over a batch of page bodies into
+    flat (list-offsets, kind, text, media_ref, offset) arrays — the
+    Arrow-native layout the executor-side documents sink (docsink.py)
+    writes to parquet without ever building per-span Python dicts or
+    shipping the payload back to the JVM. This is the single source of
+    truth for span semantics; `_spans_of` is a per-row wrapper over it.
+    A None body yields an empty span list (offset range of length 0)."""
+    offsets: list[int] = [0]
+    kinds: list[str] = []
+    texts: list = []
+    medias: list = []
+    offs: list[int] = []
+    for html in htmls:
+        i = 0
+        if html is not None:
+            for m in _SPAN_RE.finditer(html):
+                if m.group("ld") is not None:
+                    kinds.append("text"); texts.append(m.group("ld").strip()); medias.append(None)
+                elif m.group("h1") is not None:
+                    kinds.append("text"); texts.append(m.group("h1").strip()); medias.append(None)
+                elif m.group("img") is not None:
+                    kinds.append("media"); texts.append(None); medias.append(m.group("img"))
+                elif m.group("p") is not None:
+                    kinds.append("text"); texts.append(m.group("p").strip()); medias.append(None)
+                else:
+                    kinds.append("text")
+                    texts.append(f'{m.group("dt").strip()}: {m.group("dd").strip()}')
+                    medias.append(None)
+                offs.append(i)
+                i += 1
+        offsets.append(len(kinds))
+    return offsets, kinds, texts, medias, offs
+
+
 def _spans_of(html: str) -> list[dict]:
-    if html is None:
-        return []
-    out: list[dict] = []
-    for m in _SPAN_RE.finditer(html):
-        if m.group("ld") is not None:
-            out.append({"kind": "text", "text": m.group("ld").strip(), "media_ref": None})
-        elif m.group("h1") is not None:
-            out.append({"kind": "text", "text": m.group("h1").strip(), "media_ref": None})
-        elif m.group("img") is not None:
-            out.append({"kind": "media", "text": None, "media_ref": m.group("img")})
-        elif m.group("p") is not None:
-            out.append({"kind": "text", "text": m.group("p").strip(), "media_ref": None})
-        else:
-            label = m.group("dt").strip()
-            val = m.group("dd").strip()
-            out.append({"kind": "text", "text": f"{label}: {val}", "media_ref": None})
-    for i, s in enumerate(out):
-        s["offset"] = i
-    return out
+    _, kinds, texts, medias, offs = parse_spans_columnar([html])
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for (k, t, m, o) in zip(kinds, texts, medias, offs)
+    ]
 
 
 @pandas_udf(SPANS_TYPE)

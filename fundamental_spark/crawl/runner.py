@@ -49,7 +49,7 @@ from pyspark.sql.types import (
 from ..tableformat import Warehouse
 from . import PRIORITY_DETAIL, PRIORITY_PAGINATION, PRIORITY_REFRESH, PRIORITY_SEED
 from .canonical import DEFAULT_N_SHARDS, with_url_keys
-from .parse import parse_search_pages, parse_spans_udf
+from .parse import parse_search_pages
 from .politeness import PolitenessConfig, select_wave
 from .seen import filter_new_urls
 
@@ -63,30 +63,6 @@ from .seen import filter_new_urls
 # fallback handle it. (Only this one marker appears in the reference.)
 BLOCK_MARKERS = ("Je bent bijna op de pagina die je zoekt",)
 
-
-def _make_render_parse_udf():
-    """Fused spec → spans UDF: renders the detail page AND parses the
-    interleaved span sequence inside ONE Arrow batch, so the ~50 KB
-    HTML body exists only transiently in Python worker memory — it
-    never ships back across Arrow nor materializes in the JVM cache.
-    A real deployment's fetch stage does the same fusion (fetch →
-    parse in one mapInPandas): page bytes are consumed where they are
-    produced; only the compact span rows move. This is what lets the
-    pipeline scale past the single-box DRAM wall.
-
-    (lambda form: `from __future__ import annotations` stringifies
-    hints, which pandas_udf's type-hint inference can't resolve here)"""
-    from pyspark.sql.functions import pandas_udf
-
-    from ..synth.site import render_from_spec
-    from .parse import SPANS_TYPE, _spans_of
-
-    return pandas_udf(
-        lambda spec: spec.map(
-            lambda x: _spans_of(render_from_spec(x)) if x is not None else None
-        ),
-        SPANS_TYPE,
-    )
 
 FRONTIER_SCHEMA = StructType(
     [
@@ -217,7 +193,6 @@ class CrawlRunner:
         # specs (url, spec) rendered inside the fetch stage — the web at
         # frontier scale never materializes on the driver
         self._has_spec = "spec" in self.web.columns
-        self._render_parse_udf = _make_render_parse_udf() if self._has_spec else None
         if self.robots_txt is not None:
             from .robots import parse_robots
 
@@ -529,21 +504,37 @@ class CrawlRunner:
         mark("seen_filter_def")
 
         # --- per-page stats for stop rules (O(#cities) rows) -----------------
+        # ONE union-tagged collect job for both tiny stat sets (per-page
+        # listing counts + per-page new-URL counts): the per-wave driver
+        # round-trips are the non-scaling fraction of wall time, so every
+        # saved job raises the measured N->4N efficiency directly
         _ps0 = time.perf_counter()
-        page_stats = {
-            (r["city"], r["page_idx"]): r
-            for r in parsed.select(
+        stats_rows = (
+            parsed.select(
+                F.lit("p").alias("_t"),
                 "city",
                 "page_idx",
-                F.size(F.col("listing_urls")).alias("n_listings"),
+                F.size(F.col("listing_urls")).alias("n"),
                 "next_page",
-            ).collect()
+            )
+            .unionByName(
+                new_cands.groupBy("city", F.col("discovered_on_page").alias("page_idx"))
+                .agg(F.count("*").cast("int").alias("n"))
+                .select(
+                    F.lit("n").alias("_t"),
+                    "city",
+                    "page_idx",
+                    "n",
+                    F.lit(None).cast("string").alias("next_page"),
+                )
+            )
+            .collect()
+        )
+        page_stats = {
+            (r["city"], r["page_idx"]): r for r in stats_rows if r["_t"] == "p"
         }
         new_counts = {
-            (r["city"], r["discovered_on_page"]): r["n"]
-            for r in new_cands.groupBy("city", "discovered_on_page")
-            .agg(F.count("*").alias("n"))
-            .collect()
+            (r["city"], r["page_idx"]): r["n"] for r in stats_rows if r["_t"] == "n"
         }
         n_new_total = sum(new_counts.values())
         # per-domain politeness bookkeeping: newly discovered domains
@@ -581,7 +572,7 @@ class CrawlRunner:
                 elif not st.stopped:
                     next_pages.append((r["next_page"], city, page_idx + 1))
                 continue
-            n_listings = r["n_listings"] or 0
+            n_listings = r["n"] or 0
             n_new = new_counts.get((city, page_idx), 0)
             if n_listings == 0:
                 st.consecutive_empty += 1
@@ -715,21 +706,37 @@ class CrawlRunner:
             refreshed = self.spark.createDataFrame([], REFRESHED_URLS_SCHEMA)
 
         # --- documents (detail pages -> interleaved spans) --------------------
+        # fused SINK, not a UDF projection (docsink.py): the Python
+        # worker renders (spec pages) / receives the body, parses the
+        # interleaved spans columnar, and parquet-encodes straight into
+        # the snapshot dir. Span bytes cross zero exchanges and never
+        # return to the JVM — only a one-row-per-task file manifest
+        # does (the Iceberg task-file commit shape). This is what keeps
+        # per-page DRAM traffic flat as executors are added.
         detail_ok = fetched.filter((F.col("kind") == "detail") & F.col("fetch_ok"))
+        doc_cols = ["url", "html", "city", "discovered_on_page", "page_pos"]
         if self._has_spec:
-            spans = F.when(
-                F.col("spec").isNotNull(), self._render_parse_udf(F.col("spec"))
-            ).otherwise(parse_spans_udf(F.col("html")))
-        else:
-            spans = parse_spans_udf(F.col("html"))
-        docs = detail_ok.select(
-            F.col("url").alias("doc_id"),
-            spans.alias("spans"),
-            F.lit(wave).alias("wave"),
-            "city",
-            "discovered_on_page",
-            "page_pos",
-        )
+            doc_cols.insert(1, "spec")
+        docs_input = detail_ok.select(*doc_cols)
+
+        def write_docs(name: str, df: DataFrame, _wave: int = wave) -> None:
+            from .docsink import (
+                SINK_SUMMARY_DDL,
+                make_documents_sink,
+                write_empty_documents,
+            )
+
+            def job(out_dir: str) -> list[str]:
+                sink = make_documents_sink(out_dir, _wave, self._has_spec)
+                files = [
+                    r["file"]
+                    for r in df.mapInArrow(sink, SINK_SUMMARY_DDL).collect()
+                ]
+                if not files:
+                    files = [os.path.basename(write_empty_documents(out_dir))]
+                return files
+
+            self._versions[name] = self.wh.append_delta_files(name, job)
 
         # --- lineage -----------------------------------------------------------
         log_rows = fetched.filter(F.col("fetch_ok")).select(
@@ -783,7 +790,7 @@ class CrawlRunner:
             writes.append(("refreshed_urls", self._append_delta, refreshed))
         else:
             writes.append(("url_seen", self._append_delta, seen_add))
-            writes.append(("documents", self._append_delta, docs))
+            writes.append(("documents", write_docs, docs_input))
         if self.http_cache:
             cache_add = fetched.filter(
                 F.col("fetch_ok") & ~F.col("cache_hit") & F.col("html").isNotNull()

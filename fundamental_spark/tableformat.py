@@ -273,6 +273,31 @@ class Warehouse:
         of history)."""
         return self._commit(name, df)
 
+    def append_delta_files(self, name: str, job) -> int:
+        """Append-only commit whose data files are written directly by
+        executor tasks (the Iceberg write path: tasks stream data files,
+        the driver commits a manifest of the files that succeeded).
+
+        ``job(out_dir)`` must run a Spark action whose tasks write
+        parquet part files into ``out_dir`` and return the list of file
+        names belonging to successful task attempts (e.g. collect the
+        summary rows of crawl.docsink.make_documents_sink). Files in
+        ``out_dir`` NOT in that list — orphans of failed or duplicate
+        task attempts — are deleted before the pointer flips, so retries
+        and speculation can never double data. The pointer swap stays
+        the single atomic commit; a crash mid-job leaves an unreferenced
+        snapshot dir that ``rollback`` prunes, exactly like
+        ``append_delta``."""
+        new_v = self.current_version(name) + 1
+        out = self._snapshot_dir(name, new_v)
+        os.makedirs(out, exist_ok=True)
+        committed = set(job(out))
+        for f in os.listdir(out):
+            if f.endswith(".parquet") and f not in committed:
+                os.remove(os.path.join(out, f))
+        self._write_pointer(name, new_v)
+        return new_v
+
     def read_deltas(self, name: str, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.current_version(name)
         if v <= 0:
