@@ -89,13 +89,20 @@ def extract_year_built(text: Column) -> Column:
 
 
 def extract_energy_label(text: Column, jsonld: Column | None = None) -> Column:
-    """P1, the reference's full 3-stage ladder (funda_spider.py:204-253):
-    (1) the dd/HTML label, (2) the JSON-LD blob regex
-    energy(Label|Data), (3) the description text — first stage that
-    yields wins; final [A-G](\\+{1,2})? whitelist applied to all (the
-    reference validates stages 1 and 3 this way; stage 2's raw capture
-    allows A+++ which the whitelist here also rejects)."""
-    from_dd = _nn(F.regexp_extract(text, r"Energielabel:?\s*([A-G]\+{0,2})", 1))
+    """P1, the reference's full 3-stage ladder (funda_spider.py:204-253),
+    with per-stage validation matching the reference BIT-FOR-BIT
+    (round-3 advice #3 — a blanket final whitelist deviated on stage 2):
+    (1) the dd/HTML label: the WHOLE cleaned value must match the
+        ^[A-G](\\+{1,2})?$ whitelist (funda_spider.py:219-221) — a dd
+        of 'A+++' fails stage 1 entirely (no truncation to 'A++');
+    (2) the JSON-LD blob regex energy(Label|Data): the RAW capture
+        ([A-G]\\+*) is assigned unvalidated (funda_spider.py:236-238),
+        so 'A+++' from JSON-LD IS kept;
+    (3) the description text: re.search with ([a-g](?:\\+{1,2})?), a
+        substring match — 'energielabel a+++' yields 'A++'
+        (funda_spider.py:248-252). First stage that yields wins."""
+    from_dd_raw = F.upper(_nn(F.regexp_extract(text, r"Energielabel:?\s*(\S+)", 1)))
+    from_dd = F.when(from_dd_raw.rlike(r"^[A-G](\+{1,2})?$"), from_dd_raw)
     stages = [from_dd]
     if jsonld is not None:
         from_ld = F.upper(
@@ -116,8 +123,7 @@ def extract_energy_label(text: Column, jsonld: Column | None = None) -> Column:
         )
     )
     stages.append(from_desc)
-    label = F.coalesce(*stages)
-    return F.when(label.rlike(r"^[A-G](\+{1,2})?$"), label)  # validation whitelist
+    return F.coalesce(*stages)
 
 
 def dutch_date_to_iso(raw: Column) -> Column:

@@ -65,6 +65,32 @@ def geocode_enrich(props: DataFrame, geocode_table: DataFrame) -> DataFrame:
     )
 
 
+def geocode_metro_cities(cities: DataFrame, city_geocode_table: DataFrame) -> DataFrame:
+    """GeocodeCity (geocoder.go:196-256) applied over a metro area's
+    member cities (api/metropolitan.go:135-151, geocodeArea): look each
+    city up in the city-keyed geocode cache (the reference queries
+    '{city}, Netherlands' against Nominatim and caches per-city; here a
+    deterministic keyed table plays the cache), validate the result
+    against the NL bounding box (isWithinNetherlands, geocoder.go:
+    258-261), and update the city's coordinates. A cache miss or an
+    out-of-bounds result keeps the existing coordinates — the reference
+    logs the error and continues with the next city
+    (metropolitan.go:138-142). Broadcast left-join: the city cache is
+    O(#cities). Closes the round-3 'what's missing' #1."""
+    c = city_geocode_table.select(
+        F.col("city").alias("_ck"),
+        F.col("lat").alias("_clat"),
+        F.col("lng").alias("_clng"),
+    )
+    valid = F.col("_clat").between(*NL_LAT) & F.col("_clng").between(*NL_LNG)
+    return (
+        cities.join(F.broadcast(c), F.col("city") == F.col("_ck"), "left")
+        .withColumn("lat", F.when(valid, F.col("_clat")).otherwise(F.col("lat")))
+        .withColumn("lng", F.when(valid, F.col("_clng")).otherwise(F.col("lng")))
+        .drop("_ck", "_clat", "_clng")
+    )
+
+
 def parse_wkt_point(col: F.Column) -> tuple[F.Column, F.Column]:
     """P16 (district.go:137-141): 'POINT(lon lat)' -> (lng, lat)."""
     lng = F.regexp_extract(col, r"POINT\(([-0-9.]+) [-0-9.]+\)", 1).cast("double")

@@ -55,6 +55,7 @@ from .operators.dedup import (
     dedup_cluster_assignment,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_near_dup_auto,
     ngram_jaccard_pairs,
     simhash_pairs,
     winnow_pairs,
@@ -914,6 +915,29 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_minhash_auto",
+    _SHINGLE_CTE
+    + """
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.1
+    """,
+)
+def dedup_minhash_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-adaptive MinHash dispatcher (dedup.minhash_near_dup_auto,
+    round-4): plan_minhash_config proves no banded config within the
+    256-row signature budget reaches recall 0.9 at jaccard 0.1, so the
+    dispatcher runs the exact inverted-index join — hence the oracle IS
+    the exact-jaccard SQL. At higher thresholds (≥~0.3) the rule picks a
+    banded config whose at-threshold capture probability ≥ 0.9; that
+    regime is pinned by tests/test_dedup.py."""
+    return minhash_near_dup_auto(T(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@q(
     "embedding_near_dup",
     """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1042,7 +1066,9 @@ def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    FOR i IN generate_series(1, len(h)-3)])
                   ELSE list_distinct(h) END AS fps
            FROM hs),
-    ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+    ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    hot AS (SELECT fp FROM ex0 GROUP BY fp HAVING COUNT(*) > 64),
+    ex AS (SELECT * FROM ex0 WHERE fp NOT IN (SELECT fp FROM hot))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
     FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING COUNT(*) >= 2
@@ -1051,8 +1077,11 @@ def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint candidate pairs (MOSS scheme) — the
     compressed inverted index (~2/(w+1) of the shingle index); the
-    md5-derived 60-bit hash makes the DuckDB twin bit-identical."""
-    return winnow_pairs(T(spark, sf_dir, "documents"), min_shared=2)
+    md5-derived 60-bit hash makes the DuckDB twin bit-identical.
+    max_fp_df=64 is the boilerplate guard (round-4: caps the one
+    super-linear growth in the round-3 10× leg), mirrored in the
+    oracle's hot-fp exclusion CTE."""
+    return winnow_pairs(T(spark, sf_dir, "documents"), min_shared=2, max_fp_df=64)
 
 
 # MinHash signature oracle: same affine constants, same md5-derived
@@ -1101,7 +1130,14 @@ _MH_BANDS = " UNION ALL ".join(
     """,
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.1)
+    """Documented candidate-generation operating point: (64, 16) bands
+    captures ~1-(1-j⁴)¹⁶ of pairs at jaccard j (≥0.9 only for j ≥ ~0.5)
+    — `allow_low_recall=True` states that on purpose; the
+    recall-guaranteed dispatcher is dedup_minhash_auto."""
+    return minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.1, k=64, bands=16,
+        allow_low_recall=True,
+    )
 
 
 # connected components as a recursive CTE: DuckDB computes every label

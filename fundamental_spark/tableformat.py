@@ -273,6 +273,27 @@ class Warehouse:
         of history)."""
         return self._commit(name, df)
 
+    def append_delta_rows(self, name: str, rows: list[dict], schema: StructType) -> int:
+        """Driver-side micro-append for O(1)-row lineage tables (per-wave
+        metrics): writes the delta snapshot directly with pyarrow — zero
+        Spark jobs, zero scheduling round-trips. On-disk shape is the
+        same parquet delta every reader already understands. Only for
+        driver-resident row counts (a handful per call)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        new_v = self.current_version(name) + 1
+        out = self._snapshot_dir(name, new_v)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=to_arrow_schema(schema)),
+            os.path.join(out, "part-00000.parquet"),
+            compression="snappy",
+        )
+        self._write_pointer(name, new_v)
+        return new_v
+
     def append_delta_files(self, name: str, job) -> int:
         """Append-only commit whose data files are written directly by
         executor tasks (the Iceberg write path: tasks stream data files,
@@ -378,6 +399,24 @@ class Warehouse:
                 r[BUCKET_COL] for r in batch_b.select(BUCKET_COL).distinct().collect()
             )
             cur_v = self.current_version(name)
+            if cur_v > 0 and not os.path.exists(self._manifest_path(name, cur_v)):
+                # crash window in ensure_bucketed: _meta.json became
+                # visible but the process died before _commit_bucketed
+                # finished, so the current snapshot is FLAT (no
+                # manifest). read() already falls back; complete the
+                # migration here instead of crashing in _read_manifest —
+                # merge against the flat snapshot over ALL buckets, one
+                # full rewrite, and the table is bucketed from then on.
+                target = self._with_bucket(
+                    self.spark.read.parquet(self._snapshot_dir(name, cur_v)), meta
+                )
+                merged = self._merge_frames(
+                    target, batch_b, key, cols + [BUCKET_COL], when_matched_update
+                )
+                return self._commit_bucketed(
+                    name, merged, meta,
+                    touched=list(range(meta["n_buckets"])), prev_manifest={},
+                )
             prev_manifest = self._read_manifest(name, cur_v) if cur_v > 0 else {}
             target = self._read_buckets(name, prev_manifest, buckets=touched)
             if target is None:

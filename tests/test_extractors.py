@@ -120,3 +120,31 @@ def test_extraction_plan_has_no_python(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan  # extraction itself is pure JVM
+
+
+def test_energy_label_per_stage_validation(spark):
+    """Round-4 parity fix (advice #3): stage-specific validation matches
+    funda_spider.py bit-for-bit — a dd of 'A+++' fails stage 1's
+    whole-value whitelist (no truncation), the JSON-LD stage keeps the
+    raw 'A+++' capture unvalidated, and the description stage's
+    substring regex yields 'A++' from 'a+++'."""
+    from pyspark.sql import functions as F
+
+    from fundamental_spark.functions.extractors import extract_energy_label
+
+    rows = [
+        # (text, jsonld)
+        ("Energielabel: A+++", None),                       # stage1 reject, no fallback
+        ("Energielabel: A+++", '{"energyLabel":"A+++"}'),   # stage2 raw keeps A+++
+        ("geen label hier energielabel a+++ aanwezig", None),  # stage3 substring -> A++
+        ("Energielabel: b", None),                          # stage1 upper() -> B
+        ("Energielabel: A++", None),                        # stage1 pass
+    ]
+    df = spark.createDataFrame(rows, "text string, jsonld string")
+    got = [
+        r["label"]
+        for r in df.select(
+            extract_energy_label(F.col("text"), F.col("jsonld")).alias("label")
+        ).collect()
+    ]
+    assert got == [None, "A+++", "A++", "B", "A++"]

@@ -135,3 +135,34 @@ def test_blocked_page_guard(spark, tmp_path):
     assert frontier[blocked_url]["state"] == "dropped"
     docs = {d["doc_id"] for d in r.table("documents").collect()}
     assert blocked_url not in docs and len(docs) == 7
+
+
+def test_geocode_metro_cities(spark):
+    """GeocodeCity over metro member cities (geocoder.go:196-256,
+    metropolitan.go:135-151): cache hit inside the NL bbox updates the
+    city's coordinates; a miss or an out-of-bounds result keeps the
+    existing ones (the reference logs and continues)."""
+    from fundamental_spark.operators.geo import geocode_metro_cities
+
+    cities = spark.createDataFrame(
+        [
+            (1, "Amsterdam", None, None),
+            (1, "Utrecht", 52.0, 5.1),     # already set; cache out-of-bbox
+            (1, "Nowhere", None, None),    # cache miss
+        ],
+        "metropolitan_area_id int, city string, lat double, lng double",
+    )
+    cache = spark.createDataFrame(
+        [
+            ("Amsterdam", 52.3676, 4.9041),
+            ("Utrecht", 12.0, 99.0),       # outside NL bbox -> rejected
+        ],
+        "city string, lat double, lng double",
+    )
+    got = {
+        r["city"]: (r["lat"], r["lng"])
+        for r in geocode_metro_cities(cities, cache).collect()
+    }
+    assert got["Amsterdam"] == (52.3676, 4.9041)
+    assert got["Utrecht"] == (52.0, 5.1)   # invalid result kept old coords
+    assert got["Nowhere"] == (None, None)

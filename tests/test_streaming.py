@@ -220,3 +220,27 @@ def test_alert_message_html_matches_reference_template(spark):
         "Past year sales (0 properties):\nNo recent sales for comparison\n\n"
         '🔗 <a href="https://x/2">View on Funda</a>'
     )
+
+
+def test_validate_alert_filters_guard():
+    """Filter-update param guard (handlers.go:461-489): min>max, bad
+    district format, and unknown energy labels reject BEFORE any
+    predicate is built (round-4; closes round-3 missing #2)."""
+    import pytest as _pytest
+
+    from fundamental_spark.streaming.jobs import validate_alert_filters
+
+    validate_alert_filters(
+        min_price=100, max_price=200, districts=["1011", "2513"],
+        energy_labels=["A++", "G"],
+    )  # valid: no raise
+    with _pytest.raises(ValueError, match="Minimum price"):
+        validate_alert_filters(min_price=300, max_price=200)
+    with _pytest.raises(ValueError, match="Minimum rooms"):
+        validate_alert_filters(min_rooms=5, max_rooms=2)
+    with _pytest.raises(ValueError, match="district format"):
+        validate_alert_filters(districts=["10111"])
+    with _pytest.raises(ValueError, match="district format"):
+        validate_alert_filters(districts=["12a4"])
+    with _pytest.raises(ValueError, match="Invalid energy label"):
+        validate_alert_filters(energy_labels=["A+++"])

@@ -235,3 +235,33 @@ def test_read_matching_prunes_to_touched_buckets(spark, tmp_path):
     wh.overwrite("flat", _rows(spark, 100))
     got2 = wh.read_matching("flat", keys, key="url").count()
     assert got2 == 3
+
+
+def test_merge_upsert_completes_interrupted_bucketing_migration(spark, tmp_path):
+    """Crash window (round-3 advice #2): _meta.json visible but the
+    process died before _commit_bucketed wrote the manifest — the
+    current snapshot is flat. merge_upsert must complete the migration
+    instead of crashing in _read_manifest, and subsequent merges must
+    be bucket-pruned again."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite("props", _rows(spark, 300))          # flat table
+    # simulate the crash: meta written, migration never ran
+    import json as _json
+
+    with open(wh._meta_path("props"), "w") as f:
+        _json.dump({"key": "url", "n_buckets": 8}, f)
+    assert not os.path.exists(
+        wh._manifest_path("props", wh.current_version("props"))
+    )
+    batch = _rows(spark, 5, price_off=1_000_000)
+    v = wh.merge_upsert("props", batch, key="url", schema=_schema(spark))
+    assert os.path.exists(wh._manifest_path("props", v))
+    got = wh.read("props")
+    assert got.count() == 300
+    assert got.filter(F.col("price") >= 1_000_000).count() == 5
+    # next merge is pruned: writes a strict subset of buckets
+    v2 = wh.merge_upsert(
+        "props", _rows(spark, 3, price_off=2_000_000), key="url",
+        schema=_schema(spark),
+    )
+    assert _snapshot_rows(spark, wh, "props", v2) < 300
