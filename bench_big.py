@@ -100,6 +100,7 @@ def main() -> None:
         # MinHash-LSH pays per-candidate only — the crossover that makes
         # LSH the 100 TB path.
         result["neardup"] = neardup_leg(spark, src_dir)
+        result["boilerplate"] = boilerplate_leg(spark, src_dir)
 
     print(json.dumps(result))
 
@@ -188,6 +189,25 @@ def boilerplate_leg(spark, src_dir: str, n_src: int = 1000) -> dict:
             "sec": round(time.perf_counter() - t0, 2),
             "rows": rows,
         }
+    # winnow capped (the registered max_fp_df=64 boilerplate guard,
+    # round 4) vs uncapped (pure MOSS): the final winnow window of the
+    # shared footer selects the SAME min-hash in every document, so the
+    # uncapped fingerprint index carries a df=n fingerprint and the
+    # join materializes n²/2 rows from it — the round-3 hot-key blowup
+    # this leg exists to demonstrate.
+    from fundamental_spark.operators.dedup import winnow_pairs
+
+    docs_df = spark.read.parquet(out)
+    t0 = time.perf_counter()
+    rows = SPARK_QUERIES["dedup_winnow"](spark, out_dir.rstrip("/")).count()
+    timings["dedup_winnow_capped"] = {
+        "sec": round(time.perf_counter() - t0, 2), "rows": rows,
+    }
+    t0 = time.perf_counter()
+    rows = winnow_pairs(docs_df, min_shared=2).count()
+    timings["dedup_winnow_uncapped"] = {
+        "sec": round(time.perf_counter() - t0, 2), "rows": rows,
+    }
     shutil.rmtree(out_dir, ignore_errors=True)
     return timings
 

