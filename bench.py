@@ -164,6 +164,11 @@ HEADLINE_QUERIES = [
     "embedding_near_dup_auto",
     "district_price_analysis",
     "text_quality",
+    "gopher_repetition",
+    "benchmark_contamination",
+    "packing_stats",
+    "train_split_stats",
+    "pii_stats",
 ]
 
 

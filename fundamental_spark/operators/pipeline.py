@@ -1,0 +1,259 @@
+"""Training-data ASSEMBLY operators: the steps a pretraining pipeline
+runs after cleaning/dedup to turn a document corpus into training input
+— deterministic splits, repetition-quality filters, PII scrubbing,
+benchmark-contamination checks, and context-window packing.
+
+All pure DataFrame plans (no Python in the hot path), all deterministic
+(every pseudo-random decision keys off the md5-derived 60-bit hash so
+DuckDB reproduces it bit-for-bit — full cross-engine oracles), and all
+shaped for 100 TB:
+
+- splits are a row-wise hash mod (zero shuffle);
+- repetition metrics use the explode → (doc, gram) groupBy inverted
+  pattern, NOT an O(len²) per-row HOF scan — shuffle is on (doc, gram),
+  bounded by corpus token count, never by document length²;
+- contamination is an inverted-index join on shingles (the dedup
+  pattern) against a broadcast-size benchmark shingle set;
+- packing windows are PARTITIONED (per lang shard) so the global sort a
+  naive packer needs never exists; each shard packs independently,
+  exactly how a multi-executor packer shards work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _md5_hash60, word_kgrams, word_shingles
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-bucket, reproducible anywhere)
+# ---------------------------------------------------------------------------
+
+
+def with_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 98,
+    val_pct: int = 1,
+) -> DataFrame:
+    """Assign each document to train/val/test by hash bucket — the
+    standard leak-proof split: a function of the id only, stable across
+    reruns, machines, and engines (md5-derived bucket, so the DuckDB
+    twin lands every row in the same split). Zero shuffle: one row-wise
+    expression."""
+    # cast matches DuckDB's implicit BIGINT→VARCHAR before md5
+    bucket = F.pmod(_md5_hash60(F.col(id_col).cast("string")), F.lit(100))
+    return docs.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def split_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return (
+        with_split(docs, id_col=id_col)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-quality filter (the Gopher-rules family)
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.2,
+    max_dup_unigram_frac: float = 0.3,
+) -> DataFrame:
+    """Per-document repetition features (the Gopher repetition-removal
+    family, Rae et al. 2021 §A1.1): the fraction of all bigrams taken by
+    the single most frequent bigram, and the duplicate-unigram fraction
+    (1 − distinct/total). ``keep`` flags documents under both caps.
+
+    Computed with the inverted explode → (doc, gram) groupBy: per-row
+    cost is O(len), shuffle keyed on (doc, gram) — a per-row
+    count-duplicates HOF would be O(len²) per document, quadratic in
+    exactly the long-document tail a repetition filter exists to
+    catch."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    uni = (
+        toks.groupBy("doc", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    bg = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_kgrams(F.col(text_col), 2)).alias("bigram"),
+    )
+    big = (
+        bg.groupBy("doc", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    top_frac = F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 4)
+    dup_frac = F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 4)
+    return (
+        uni.join(big, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce(top_frac, F.lit(0.0)).alias("top_bigram_frac"),
+            dup_frac.alias("dup_unigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            & (F.col("dup_unigram_frac") <= max_dup_unigram_frac),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (regex redaction, counted)
+# ---------------------------------------------------------------------------
+
+# patterns restricted to syntax Java regex and RE2 (DuckDB) share, so
+# the scrub is bit-identical cross-engine
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 -]{8,}[0-9]"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and phone-shaped numbers, keeping counts — the
+    minimum-viable PII pass every released corpus runs. Pure JVM column
+    expressions (regexp_extract_all / regexp_replace); order matters:
+    emails first, so the digits inside a mailbox name can't double-count
+    as a phone."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    s = pii_scrub(docs)
+    return s.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when((F.col("n_emails") > 0) | (F.col("n_phones") > 0), 1)).alias(
+            "docs_with_pii"
+        ),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(F.length("redacted")).alias("redacted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document count of distinct word n-grams shared with ANY
+    benchmark document (the decontamination pass: training text
+    overlapping an eval set inflates scores). Inverted-index join on
+    the shingle — shuffle keyed by shingle, never an all-pairs join;
+    the benchmark shingle set is DISTINCT'd first (small: eval sets are
+    tiny next to the corpus) so each training shingle matches at most
+    once."""
+    cand = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(bench, "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("overlap_ngrams"))
+        .filter(F.col("overlap_ngrams") >= min_overlap)
+        .select(F.col("doc").alias(id_col), "overlap_ngrams")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing (sequential fill, sharded)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx: int = 512,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-size context windows by sequential
+    fill WITHIN a shard: running token total in deterministic (doc_id)
+    order; bin = floor(exclusive-cumsum / ctx) — the concat-and-chunk
+    packing GPT-style pipelines use. Sharding (per ``shard_col``) is
+    the scale property: each shard's window is independent, so packing
+    parallelizes across executors and no global sort ever exists. The
+    whole plan is two window functions over one exchange."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.col(shard_col).alias("shard"), n_tok.alias("n_tokens")
+        )
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("bin", F.floor(F.col("cum_before") / ctx).cast("int"))
+        .drop("cum_before")
+    )
+
+
+def packing_stats(docs: DataFrame, ctx: int = 512) -> DataFrame:
+    packed = pack_sequences(docs, ctx=ctx)
+    per_bin = packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    return per_bin.groupBy("shard").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.avg("n_docs"), 4).alias("avg_docs_per_bin"),
+        F.round(F.avg(F.least(F.col("n_tokens") / ctx, F.lit(1.0))), 4).alias(
+            "avg_fill"
+        ),
+    )

@@ -1442,3 +1442,160 @@ def langid_pred_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax (first language reaching the max wins, strict > beats ties)."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data ASSEMBLY tier (operators/pipeline.py, round 4): splits,
+# repetition filters, PII scrub, contamination, context packing — each
+# with a full cross-engine oracle (md5-keyed determinism throughout)
+# ---------------------------------------------------------------------------
+from .operators.dedup import _md5_hash60  # noqa: E402
+from .operators.pipeline import (  # noqa: E402
+    EMAIL_RE,
+    PHONE_RE,
+    contamination_check,
+    packing_stats,
+    pii_stats,
+    repetition_metrics,
+    split_stats,
+)
+
+_H60 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@q(
+    "train_split_stats",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN {_H60} % 100 < 98 THEN 'train'
+                  WHEN {_H60} % 100 < 99 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split_regex(trim(text), '\\s+')) AS nt
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split
+    """,
+)
+def train_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (98/1/1): a
+    function of doc_id only — stable across reruns, machines, engines
+    (the leak-proof split every pretraining pipeline needs)."""
+    return split_stats(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "gopher_repetition",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  FROM documents),
+    uni AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+            FROM toks GROUP BY 1),
+    arr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a FROM documents),
+    bgl AS (SELECT doc_id,
+                   unnest([a[i] || ' ' || a[i+1] FOR i IN generate_series(1, len(a)-1)]) AS bg
+            FROM arr WHERE len(a) >= 2),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgl GROUP BY 1, 2),
+    big AS (SELECT doc_id, MAX(c) AS topn, SUM(c) AS nb FROM bgc GROUP BY 1)
+    SELECT u.doc_id, u.n_tokens,
+           ROUND(COALESCE(topn * 1.0 / nb, 0), 4) AS top_bigram_frac,
+           ROUND(1.0 - n_distinct * 1.0 / u.n_tokens, 4) AS dup_unigram_frac,
+           (ROUND(COALESCE(topn * 1.0 / nb, 0), 4) <= 0.2
+            AND ROUND(1.0 - n_distinct * 1.0 / u.n_tokens, 4) <= 0.3) AS keep
+    FROM uni u LEFT JOIN big b ON u.doc_id = b.doc_id
+    """,
+)
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filter (Rae et al. 2021 §A1.1):
+    top-bigram fraction + duplicate-unigram fraction per document via
+    the inverted explode→groupBy pattern (O(len) per row, never
+    O(len²))."""
+    return repetition_metrics(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "pii_stats",
+    f"""
+    WITH s AS (
+      SELECT len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM documents),
+    s2 AS (SELECT ne,
+                  len(regexp_extract_all(t1, '{PHONE_RE}')) AS np,
+                  regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS t2
+           FROM s)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(CASE WHEN ne > 0 OR np > 0 THEN 1 END) AS docs_with_pii,
+           CAST(SUM(ne) AS BIGINT) AS total_emails,
+           CAST(SUM(np) AS BIGINT) AS total_phones,
+           CAST(SUM(length(t2)) AS BIGINT) AS redacted_chars
+    FROM s2
+    """,
+)
+def pii_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction tallies (patterns restricted to the regex
+    dialect Java and RE2 share, so the scrub is bit-identical
+    cross-engine; planted-PII behavior pinned in tests)."""
+    return pii_stats(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "benchmark_contamination",
+    f"""
+    WITH h AS (SELECT doc_id, text, {_H60} % 20 AS hb FROM documents),
+    carr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+             FROM h WHERE hb <> 0),
+    cs AS (SELECT DISTINCT doc_id,
+                  unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' ||
+                          a[i+3] || ' ' || a[i+4]
+                          FOR i IN generate_series(1, len(a)-4)]) AS shingle
+           FROM carr WHERE len(a) >= 5),
+    barr AS (SELECT string_split_regex(trim(text), '\\s+') AS a
+             FROM h WHERE hb = 0),
+    bs AS (SELECT DISTINCT
+                  unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' ||
+                          a[i+3] || ' ' || a[i+4]
+                          FOR i IN generate_series(1, len(a)-4)]) AS shingle
+           FROM barr WHERE len(a) >= 5)
+    SELECT doc_id, COUNT(*) AS overlap_ngrams
+    FROM cs JOIN bs USING (shingle)
+    GROUP BY doc_id HAVING COUNT(*) >= 1
+    """,
+)
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: distinct 5-gram overlap of each training
+    document against a held-out 'benchmark' slice (hash bucket 0 of 20
+    — deterministic, no external data). Inverted-index join on the
+    shingle, never all-pairs."""
+    d = T(spark, sf_dir, "documents")
+    hb = F.pmod(_md5_hash60(F.col("doc_id").cast("string")), F.lit(20))
+    return contamination_check(
+        d.filter(hb != 0), d.filter(hb == 0), n=5, min_overlap=1
+    )
+
+
+@q(
+    "packing_stats",
+    """
+    WITH d AS (SELECT doc_id, lang AS shard,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               FROM documents),
+    p AS (SELECT shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM d),
+    b AS (SELECT shard, CAST(FLOOR(cb / 512) AS INT) AS bin,
+                 COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+          FROM p GROUP BY 1, 2)
+    SELECT shard, COUNT(*) AS n_bins, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_docs), 4) AS avg_docs_per_bin,
+           ROUND(AVG(LEAST(n_tokens * 1.0 / 512, 1.0)), 4) AS avg_fill
+    FROM b GROUP BY shard
+    """,
+)
+def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (sequential fill, ctx=512) sharded per
+    lang: running token total in doc_id order inside each shard, bin =
+    floor(exclusive-cumsum / ctx) — two window functions over ONE
+    exchange; shards pack independently (the multi-executor property)."""
+    return packing_stats(T(spark, sf_dir, "documents"), ctx=512)

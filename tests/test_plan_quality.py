@@ -102,3 +102,38 @@ def test_sessionization_single_shuffle(spark):
     assert len(exchanges) >= 1
     # no Python anywhere in a pure-window query
     assert "EvalPython" not in plan
+
+
+def test_assembly_tier_plans(spark):
+    """Round-4 assembly tier: all five ops stay JVM-side (no Python
+    eval nodes anywhere), the split is shuffle-free, and packing uses
+    exactly ONE exchange (the per-shard window partitioning)."""
+    for name in (
+        "train_split_stats",
+        "gopher_repetition",
+        "pii_stats",
+        "benchmark_contamination",
+        "packing_stats",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # split assignment itself (pre-agg) is a pure projection: no exchange
+    from fundamental_spark.operators.pipeline import with_split
+    from fundamental_spark.queries import T
+
+    split_plan = (
+        with_split(T(spark, SF, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in split_plan
+    # packing: the two windows + per-bin agg share the one hash
+    # partitioning on shard — a second exchange would mean the window
+    # partitioning was NOT reused by the groupBy
+    from fundamental_spark.operators.pipeline import pack_sequences
+
+    pack_plan = (
+        pack_sequences(T(spark, SF, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert pack_plan.count("Exchange hashpartitioning") == 1
