@@ -265,3 +265,27 @@ def test_merge_upsert_completes_interrupted_bucketing_migration(spark, tmp_path)
         schema=_schema(spark),
     )
     assert _snapshot_rows(spark, wh, "props", v2) < 300
+
+
+def test_append_delta_files_commit_protocol(spark, tmp_path):
+    """Iceberg-style task-file commit (round 4): only files reported by
+    the job survive — orphans of failed/duplicate task attempts are
+    removed before the pointer flips."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def job(out_dir):
+        t = pa.table({"url": ["a", "b"], "price": [1, 2]})
+        pq.write_table(t, os.path.join(out_dir, "part-good.parquet"))
+        # a duplicate/failed attempt's leftover, NOT reported
+        pq.write_table(t, os.path.join(out_dir, "part-orphan.parquet"))
+        return ["part-good.parquet"]
+
+    v = wh.append_delta_files("log", job)
+    snap = wh._snapshot_dir("log", v)
+    assert sorted(f for f in os.listdir(snap) if f.endswith(".parquet")) == [
+        "part-good.parquet"
+    ]
+    assert wh.read_deltas("log").count() == 2  # the orphan did not double data
