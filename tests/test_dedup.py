@@ -236,3 +236,37 @@ def test_connected_components_nonconvergence_is_loud(spark):
         for r in connected_components(edges, vertices, max_iters=25).collect()
     }
     assert set(got.values()) == {"v00"}
+
+
+def test_word_kgrams_regex_equivalence(spark):
+    """word_kgrams is built by a codegen'd lookahead regex (round 4);
+    pin its output against the straightforward split/concat reference
+    on tricky inputs — multi-space, tabs/newlines, short docs, nulls,
+    duplicates kept in document order."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import ArrayType, StringType
+
+    from fundamental_spark.operators.dedup import word_kgrams
+
+    rows = [
+        ("a b c d e",),
+        ("a  b\tc \n d",),          # messy whitespace
+        ("  padded   text here  ",),
+        ("one two",),               # shorter than n
+        ("solo",),
+        ("",),
+        (None,),
+        ("x y x y x y",),           # duplicates kept, ordered
+    ]
+    df = spark.createDataFrame(rows, "text string")
+
+    def ref(text, n):
+        if text is None:
+            return []
+        toks = text.strip().split()
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] if len(toks) >= n else []
+
+    for n in (2, 3, 5):
+        got = [r["g"] for r in df.select(word_kgrams(F.col("text"), n).alias("g")).collect()]
+        want = [ref(t[0], n) for t in rows]
+        assert got == want, (n, got, want)
