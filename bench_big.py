@@ -28,7 +28,10 @@ import time
 BIG_DIR = os.environ.get("FS_BIG_DIR", "/tmp/fs_sf1")
 REPLICAS = int(os.environ.get("FS_BIG_REPLICAS", "10"))
 DEDUP_QUERIES = ["dedup_exact", "dedup_winnow", "dedup_minhash_lsh",
-                 "dedup_ngram_jaccard"]
+                 "dedup_ngram_jaccard",
+                 # assembly tier (round 4): 10x growth evidence
+                 "gopher_repetition", "benchmark_contamination",
+                 "packing_stats", "train_split_stats", "pii_stats"]
 
 
 def build_big_documents(spark, src_dir: str) -> str:
