@@ -501,7 +501,12 @@ def embedding_near_dup_auto(
     chosen plan is deterministic for a given operating point."""
     cfg = plan_near_dup_config(threshold, recall_target=recall_target)
     if cfg is None:
-        return embedding_near_dup_pairs(
+        # exact branch rides the blocked-GEMM plan (round 4): same
+        # result set as embedding_near_dup_pairs (the pure-JVM oracle
+        # twin, kept registered separately), ~100× less per-pair
+        # overhead — numpy matmul per Arrow batch instead of an
+        # interpreted HOF dot product per pair
+        return embedding_near_dup_gemm(
             corpus, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
     r, b = cfg
@@ -516,6 +521,63 @@ def embedding_near_dup_auto(
     )
 
 
+def embedding_near_dup_gemm(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked GEMM — the fast
+    exact plan (the near-dup twin of ``gemm_topk``). The corpus'
+    normalized float64 matrix is collected and broadcast ONCE (O(n·d)
+    bytes — any exact all-pairs plan already commits to O(n²·d)
+    compute, so the matrix transfer is never the binding term); each
+    partition scores its Arrow batch against it with one matmul and
+    emits only the id_a < id_b survivors at ≥ threshold. Cosines are
+    emitted raw and rounded JVM-side so the output is bit-aligned with
+    the DuckDB oracle exactly like ``ann_gemm``. The scale path for
+    huge n remains ``embedding_near_dup_lsh_pairs`` — exact n² is
+    intrinsically bounded, this just removes its interpreter tax
+    (~100× per pair vs the HOF plan)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cos double"
+        )
+    all_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ mat.T  # (batch, n)
+            for i in range(len(ids)):
+                # margin covers the JVM-side round(…,4): a raw cos down
+                # to θ-5e-5 can still round up to ≥ θ
+                mask = (all_ids > ids[i]) & (sims[i] >= threshold - 1e-4)
+                hit = np.nonzero(mask)[0]
+                if len(hit) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.full(len(hit), ids[i]),
+                        "id_b": all_ids[hit],
+                        "cos": sims[i][hit],
+                    }
+                )
+
+    partial = spread(corpus).mapInPandas(score, "id_a bigint, id_b bigint, cos double")
+    return partial.select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -524,7 +586,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup dedup).
     O(n²) by construction — this is the exact verifier and the DuckDB
-    oracle twin; the scale path is ``embedding_near_dup_lsh_pairs``."""
+    oracle twin; the fast exact plan is ``embedding_near_dup_gemm``,
+    the scale path ``embedding_near_dup_lsh_pairs``."""
     a = spread(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

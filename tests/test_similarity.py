@@ -161,15 +161,16 @@ def test_plan_near_dup_config_decision_rule():
 
 
 def test_near_dup_auto_dispatch(spark, vectors):
-    """Auto dispatch: exact plan (cartesian) at threshold 0.4, banded
-    LSH plan (band-key equi-join, no cartesian) at threshold 0.95 —
-    and at 0.4 its rows equal the exact operator's exactly."""
+    """Auto dispatch: blocked-GEMM exact plan (MapInPandas, no band
+    join — round 4) at threshold 0.4, banded LSH plan (band-key
+    equi-join) at threshold 0.95 — and at 0.4 its rows equal the
+    pure-JVM exact operator's exactly."""
     from fundamental_spark.operators.similarity import embedding_near_dup_auto
 
     emb, dim = vectors
     lo = embedding_near_dup_auto(emb, threshold=0.4)
     lo_plan = lo._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" in lo_plan or "NestedLoop" in lo_plan
+    assert "MapInPandas" in lo_plan and "band_idx" not in lo_plan
     exact_rows = sorted(map(tuple, embedding_near_dup_pairs(emb, threshold=0.4).collect()))
     assert sorted(map(tuple, lo.collect())) == exact_rows
 
@@ -209,3 +210,22 @@ def test_kmeans_centroids_deterministic_and_converges(spark):
             for c in c1
         )
         assert best > 0.95, (d, best)
+
+
+def test_embedding_near_dup_gemm_equals_jvm_exact(spark):
+    """The blocked-GEMM exact near-dup (round 4) must reproduce the
+    pure-JVM exact plan bit-for-bit at the registered operating point
+    (raw cosines rounded JVM-side, same tie semantics) — it is the plan
+    embedding_near_dup_auto dispatches to at moderate thresholds."""
+    from fundamental_spark.operators.similarity import (
+        embedding_near_dup_auto,
+        embedding_near_dup_gemm,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    jvm = sorted(tuple(r) for r in embedding_near_dup_pairs(emb, 0.4).collect())
+    gemm = sorted(tuple(r) for r in embedding_near_dup_gemm(emb, 0.4).collect())
+    auto = sorted(tuple(r) for r in embedding_near_dup_auto(emb, 0.4).collect())
+    assert jvm == gemm == auto
+    assert jvm  # non-trivial fixture
