@@ -820,9 +820,14 @@ class CrawlRunner:
             ],
             WAVE_METRICS_SCHEMA,
         )
-        for fu in futures:
-            fu.result()
-        pool.shutdown()
+        try:
+            for fu in futures:
+                fu.result()
+        finally:
+            # always reap the pool: a failed write must not leak
+            # non-daemon worker threads (checkpoint is only written on
+            # full success, so a partial wave rolls back on reopen)
+            pool.shutdown(wait=True)
         self.seen_count += n_new_total
         mark("snapshot_writes")
 
