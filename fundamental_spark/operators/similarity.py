@@ -237,10 +237,17 @@ def lsh_topk(
 
 
 def _unit(vec: list[float]) -> list[float]:
+    """Unit-normalize, rounding each component to 9 decimals.
+
+    The rounding pins the centroid values to a grid far coarser than
+    FP-summation-order noise (~1e-16 relative), so an independent
+    engine (the DuckDB oracle for ``ann_ivf``) recomputing the same
+    Lloyd iterations lands on bit-identical centroids regardless of
+    its reduction order."""
     import math as _math
 
     n = _math.sqrt(sum(x * x for x in vec)) or 1.0
-    return [x / n for x in vec]
+    return [round(x / n, 9) for x in vec]
 
 
 def _nearest_cells_col(cents_normed: list[list[float]], vec: Column, n: int) -> Column:
@@ -295,7 +302,9 @@ def kmeans_centroids(
             )
             .select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            # round: see _unit — keeps the per-cell means reproducible
+            # across engines/partitionings despite FP reduction order
+            .agg(F.round(F.avg("x"), 9).alias("m"))
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}

@@ -1222,17 +1222,88 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@q("ann_lsh")
+# Hyperplane-LSH oracle: the planes are fixed import-time constants
+# (similarity._plane_constants — xorshift-derived, no runtime RNG), so
+# DuckDB can recompute the sign signatures bit-for-bit by unrolling the
+# dot product LEFT-ASSOCIATIVELY — the exact fold order of the Spark
+# F.aggregate(zip_with(...)) plan — making every IEEE operation
+# identical on both engines (same trick that oracled MinHash via its
+# affine constants above).
+def _lsh_sig_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from .operators.similarity import _plane_constants
+
+    bits = []
+    for i, plane in enumerate(_plane_constants(n_planes, dim)):
+        dot = " + ".join(f"v[{j + 1}]*({c!r})" for j, c in enumerate(plane))
+        bits.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + "\n           + ".join(bits) + ")"
+
+
+def _lsh_cte(n_planes: int = 8) -> str:
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)])
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sig AS (SELECT vec_id, v, {_lsh_sig_sql(n_planes)} AS bucket FROM e),
+    probes AS (SELECT vec_id AS query_id, unnest([{probes}]) AS bucket
+               FROM sig WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+             FROM probes p JOIN sig s ON s.bucket = p.bucket
+              AND s.vec_id <> p.query_id),
+    lsh_scored AS (SELECT c.query_id, c.neighbor_id,
+                          list_cosine_similarity(q.v, s.v) AS cos_raw
+                   FROM cand c
+                   JOIN e q ON q.vec_id = c.query_id
+                   JOIN e s ON s.vec_id = c.neighbor_id),
+    lsh_ranked AS (SELECT query_id, neighbor_id, cos_raw,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos_raw DESC, neighbor_id) AS rank
+                   FROM lsh_scored)"""
+
+
+@q(
+    "ann_lsh",
+    _lsh_cte()
+    + """
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos
+    FROM lsh_ranked WHERE rank <= 5
+    """,
+)
 def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k, fully oracle-checked: DuckDB
+    recomputes the deterministic sign signatures (plane constants as
+    SQL literals, left-associative dot fold), the hamming-1 multiprobe
+    bucket join and the exact-cosine rank bit-for-bit."""
     emb = T(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@q("ann_lsh_recall")
+@q(
+    "ann_lsh_recall",
+    _lsh_cte()
+    + """,
+    lsh AS (SELECT query_id, neighbor_id FROM lsh_ranked WHERE rank <= 5),
+    bf_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.v, c.v) AS cos_raw
+                  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 10),
+    bf AS (SELECT query_id, neighbor_id
+           FROM (SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_raw DESC, neighbor_id) AS rank
+                 FROM bf_scored)
+           WHERE rank <= 5),
+    stats AS (SELECT (SELECT COUNT(*) FROM bf) AS n_exact,
+                     (SELECT COUNT(*) FROM bf
+                      JOIN lsh USING (query_id, neighbor_id)) AS n_hit)
+    SELECT n_exact, n_hit, ROUND(n_hit / n_exact, 4) AS recall_at_5 FROM stats
+    """,
+)
 def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantitative check for the approximate path: recall@5 of the
-    hyperplane-LSH top-k against the exact brute-force top-k, emitted
-    as a one-row result (no SQL twin: LSH isn't DuckDB-expressible)."""
+    hyperplane-LSH top-k against the exact brute-force top-k — now with
+    a full DuckDB twin (both the LSH candidate set and the brute-force
+    reference are recomputed in SQL from the same plane constants)."""
     emb = T(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
@@ -1353,19 +1424,118 @@ def ann_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gemm_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@q("ann_ivf")
+# IVF oracle: k-means is deterministic (first-16-by-id seeds, 3 Lloyd
+# iterations, NO RNG) and every centroid component is rounded to 9
+# decimals on both engines (similarity._unit / the per-cell AVG) — a
+# grid ~1e7× coarser than FP-reduction-order noise — so DuckDB unrolls
+# the 3 iterations as CTE rounds and lands on bit-identical centroids,
+# then reproduces the multi-assign / multi-probe cell join and the
+# exact-cosine rank. Tie order in the argmax (dot DESC, cell DESC)
+# mirrors the reversed array_sort in similarity._nearest_cells_col.
+_IVF_UNIT = "list_transform({m}, x -> ROUND(x / sqrt(list_dot_product({m}, {m})), 9))"
+
+
+def _ivf_cents_cte(n_centroids: int = 16, n_iters: int = 3, dim: int = 64) -> str:
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    seed AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids})),
+    c0 AS (SELECT cell, {_IVF_UNIT.format(m="v")} AS cv FROM seed)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(f""",
+    a{t} AS (SELECT vec_id, v, cell FROM (
+               SELECT e.vec_id, e.v, c.cell,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                                  c.cell DESC) AS rn
+               FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1),
+    m{t} AS (SELECT a.cell, t.pos, ROUND(AVG(a.v[t.pos]), 9) AS m
+             FROM a{t} a CROSS JOIN generate_series(1, {dim}) t(pos)
+             GROUP BY 1, 2),
+    mv{t} AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m{t} GROUP BY cell),
+    c{t} AS (SELECT c.cell,
+                    COALESCE({_IVF_UNIT.format(m="n.mv")}, c.cv) AS cv
+             FROM c{t - 1} c LEFT JOIN mv{t} n USING (cell))""")
+    return "".join(parts)
+
+
+def _ivf_cte(
+    n_centroids: int = 16, n_iters: int = 3, n_assign: int = 2, n_probe: int = 2
+) -> str:
+    return _ivf_cents_cte(n_centroids, n_iters) + f""",
+    cass AS (SELECT vec_id AS neighbor_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                                  c.cell DESC) AS rn
+               FROM e CROSS JOIN c{n_iters} c) WHERE rn <= {n_assign}),
+    qass AS (SELECT vec_id AS query_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                                  c.cell DESC) AS rn
+               FROM e CROSS JOIN c{n_iters} c
+               WHERE e.vec_id < 10) WHERE rn <= {n_probe}),
+    cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+             FROM qass q JOIN cass c ON c.cell = q.cell
+              AND c.neighbor_id <> q.query_id),
+    ivf_scored AS (SELECT c.query_id, c.neighbor_id,
+                          list_cosine_similarity(q.v, s.v) AS cos_raw
+                   FROM cand c
+                   JOIN e q ON q.vec_id = c.query_id
+                   JOIN e s ON s.vec_id = c.neighbor_id),
+    ivf_ranked AS (SELECT query_id, neighbor_id, cos_raw,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos_raw DESC, neighbor_id) AS rank
+                   FROM ivf_scored)"""
+
+
+@q(
+    "ann_ivf",
+    _ivf_cte()
+    + """
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos
+    FROM ivf_ranked WHERE rank <= 5
+    """,
+)
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only; quantitative twin below)."""
+    """IVF approximate top-k, fully oracle-checked: DuckDB re-runs the
+    3 deterministic Lloyd iterations as unrolled CTE rounds (seeds =
+    first 16 by id; centroids pinned to a 1e-9 grid on both engines),
+    then the n_assign=2 / n_probe=2 cell join and exact-cosine rank."""
     emb = T(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@q("ann_ivf_recall")
+@q(
+    "ann_ivf_recall",
+    _ivf_cte()
+    + """,
+    ivf AS (SELECT query_id, neighbor_id FROM ivf_ranked WHERE rank <= 5),
+    bf_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.v, c.v) AS cos_raw
+                  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 10),
+    bf AS (SELECT query_id, neighbor_id
+           FROM (SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_raw DESC, neighbor_id) AS rank
+                 FROM bf_scored)
+           WHERE rank <= 5),
+    stats AS (SELECT (SELECT COUNT(*) FROM bf) AS n_exact,
+                     (SELECT COUNT(*) FROM bf
+                      JOIN ivf USING (query_id, neighbor_id)) AS n_hit)
+    SELECT n_exact, n_hit, ROUND(n_hit / n_exact, 4) AS recall_at_5 FROM stats
+    """,
+)
 def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the IVF path vs exact brute force, as a one-row
-    result (the IVF scan prunes to ~n_probe*n_assign/n_centroids of the
-    corpus — 4x pruning at the defaults; k-means cells + boundary
-    spilling hold recall ≥0.95 there)."""
+    """Recall@5 of the IVF path vs exact brute force (the IVF scan
+    prunes to ~n_probe*n_assign/n_centroids of the corpus — 4x pruning
+    at the defaults; k-means cells + boundary spilling hold recall
+    ≥0.95 there) — now with a full DuckDB twin recomputing both sides."""
     emb = T(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
