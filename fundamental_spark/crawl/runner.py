@@ -601,232 +601,236 @@ class CrawlRunner:
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=8)
-        futures = [
-            pool.submit(self._append_delta, "frontier_done", done_rows),
-            pool.submit(self._append_delta, "crawl_log", log_rows),
-        ]
-        if self.mode == "refresh":
-            futures.append(pool.submit(self._append_delta, "refreshed_urls", refreshed))
-        else:
-            futures.append(pool.submit(self._append_delta, "url_seen", seen_add))
-            futures.append(pool.submit(write_docs, "documents", docs_input))
-        if self.http_cache:
-            cache_add = fetched.filter(
-                F.col("fetch_ok") & ~F.col("cache_hit") & F.col("html").isNotNull()
-            ).select("url", "html", F.lit(wave).alias("wave"))
-            futures.append(pool.submit(self._append_delta, "response_cache", cache_add))
-        mark("writes_phase1_submit")
+        try:
+            futures = [
+                pool.submit(self._append_delta, "frontier_done", done_rows),
+                pool.submit(self._append_delta, "crawl_log", log_rows),
+            ]
+            if self.mode == "refresh":
+                futures.append(pool.submit(self._append_delta, "refreshed_urls", refreshed))
+            else:
+                futures.append(pool.submit(self._append_delta, "url_seen", seen_add))
+                futures.append(pool.submit(write_docs, "documents", docs_input))
+            if self.http_cache:
+                cache_add = fetched.filter(
+                    F.col("fetch_ok") & ~F.col("cache_hit") & F.col("html").isNotNull()
+                ).select("url", "html", F.lit(wave).alias("wave"))
+                futures.append(pool.submit(self._append_delta, "response_cache", cache_add))
+            mark("writes_phase1_submit")
 
-        # --- ONE union-tagged stats job (O(#cities)+O(#shards) rows) ----------
-        # All per-wave driver bookkeeping folds into a single collect:
-        #   p: per-search-page listing count + next-page url (stop rules)
-        #   n: per-page NEW-url count after the seen filter (stop rules)
-        #   s: per-shard fetched-page counts (skew lineage, wave_metrics)
-        #   t: AutoThrottle ok/retryable tallies (only when throttling)
-        #   d: newly seen domains (only when a politeness budget is active)
-        # Separate jobs here were the dominant fixed cost per wave — each
-        # driver round-trip is wall time that no added executor removes.
-        legs = [
-            parsed.select(
-                F.lit("p").alias("_t"),
-                F.col("city").alias("k"),
-                F.col("page_idx").alias("i"),
-                F.size(F.col("listing_urls")).alias("n"),
-                F.col("next_page").alias("s"),
-            ),
-            new_cands.groupBy("city", "discovered_on_page")
-            .agg(F.count("*").cast("int").alias("n"))
-            .select(
-                F.lit("n").alias("_t"),
-                F.col("city").alias("k"),
-                F.col("discovered_on_page").alias("i"),
-                "n",
-                F.lit(None).cast("string").alias("s"),
-            ),
-            fetched.filter(F.col("fetch_ok"))
-            .groupBy("domain_shard")
-            .agg(
-                F.count("*").cast("int").alias("n"),
-                F.count(F.when(F.col("kind") == "search", 1)).cast("int").alias("ns"),
-            )
-            .select(
-                F.lit("s").alias("_t"),
-                F.col("domain_shard").cast("string").alias("k"),
-                F.col("ns").alias("i"),
-                "n",
-                F.lit(None).cast("string").alias("s"),
-            ),
-        ]
-        if self.wave_seconds is not None:
-            legs.append(
-                new_cands.select("domain")
-                .distinct()
+            # --- ONE union-tagged stats job (O(#cities)+O(#shards) rows) ----------
+            # All per-wave driver bookkeeping folds into a single collect:
+            #   p: per-search-page listing count + next-page url (stop rules)
+            #   n: per-page NEW-url count after the seen filter (stop rules)
+            #   s: per-shard fetched-page counts (skew lineage, wave_metrics)
+            #   t: AutoThrottle ok/retryable tallies (only when throttling)
+            #   d: newly seen domains (only when a politeness budget is active)
+            # Separate jobs here were the dominant fixed cost per wave — each
+            # driver round-trip is wall time that no added executor removes.
+            legs = [
+                parsed.select(
+                    F.lit("p").alias("_t"),
+                    F.col("city").alias("k"),
+                    F.col("page_idx").alias("i"),
+                    F.size(F.col("listing_urls")).alias("n"),
+                    F.col("next_page").alias("s"),
+                ),
+                new_cands.groupBy("city", "discovered_on_page")
+                .agg(F.count("*").cast("int").alias("n"))
                 .select(
-                    F.lit("d").alias("_t"),
-                    F.col("domain").alias("k"),
-                    F.lit(None).cast("int").alias("i"),
-                    F.lit(None).cast("int").alias("n"),
+                    F.lit("n").alias("_t"),
+                    F.col("city").alias("k"),
+                    F.col("discovered_on_page").alias("i"),
+                    "n",
                     F.lit(None).cast("string").alias("s"),
+                ),
+                fetched.filter(F.col("fetch_ok"))
+                .groupBy("domain_shard")
+                .agg(
+                    F.count("*").cast("int").alias("n"),
+                    F.count(F.when(F.col("kind") == "search", 1)).cast("int").alias("ns"),
                 )
-            )
-            if self.politeness.autothrottle:
-                # Only RETRYABLE failures count — permanent misses (a
-                # past-the-end manual-pagination 404, a dropped
-                # interstitial) are not server distress and Scrapy's
-                # AutoThrottle never backs off on them
+                .select(
+                    F.lit("s").alias("_t"),
+                    F.col("domain_shard").cast("string").alias("k"),
+                    F.col("ns").alias("i"),
+                    "n",
+                    F.lit(None).cast("string").alias("s"),
+                ),
+            ]
+            if self.wave_seconds is not None:
                 legs.append(
-                    fetched.agg(
-                        F.count(F.when(F.col("retryable"), 1)).cast("int").alias("i"),
-                        F.count(F.when(F.col("fetch_ok"), 1)).cast("int").alias("n"),
-                    ).select(
-                        F.lit("t").alias("_t"),
-                        F.lit(None).cast("string").alias("k"),
-                        "i",
-                        "n",
+                    new_cands.select("domain")
+                    .distinct()
+                    .select(
+                        F.lit("d").alias("_t"),
+                        F.col("domain").alias("k"),
+                        F.lit(None).cast("int").alias("i"),
+                        F.lit(None).cast("int").alias("n"),
                         F.lit(None).cast("string").alias("s"),
                     )
                 )
-        stats_df = legs[0]
-        for leg in legs[1:]:
-            stats_df = stats_df.unionByName(leg)
-        stats_rows = stats_df.collect()
-        page_stats = {(r["k"], r["i"]): r for r in stats_rows if r["_t"] == "p"}
-        new_counts = {(r["k"], r["i"]): r["n"] for r in stats_rows if r["_t"] == "n"}
-        shard_counts = {r["k"]: r["n"] for r in stats_rows if r["_t"] == "s"}
-        n_search = sum(r["i"] for r in stats_rows if r["_t"] == "s")
-        n_new_total = sum(new_counts.values())
-        if self.wave_seconds is not None:
-            self.domains.update(r["k"] for r in stats_rows if r["_t"] == "d")
-            if self.politeness.autothrottle:
-                t = next(r for r in stats_rows if r["_t"] == "t")
-                self.politeness.observe_wave(t["n"], t["i"])
-        mark("stats_collect")
+                if self.politeness.autothrottle:
+                    # Only RETRYABLE failures count — permanent misses (a
+                    # past-the-end manual-pagination 404, a dropped
+                    # interstitial) are not server distress and Scrapy's
+                    # AutoThrottle never backs off on them
+                    legs.append(
+                        fetched.agg(
+                            F.count(F.when(F.col("retryable"), 1)).cast("int").alias("i"),
+                            F.count(F.when(F.col("fetch_ok"), 1)).cast("int").alias("n"),
+                        ).select(
+                            F.lit("t").alias("_t"),
+                            F.lit(None).cast("string").alias("k"),
+                            "i",
+                            "n",
+                            F.lit(None).cast("string").alias("s"),
+                        )
+                    )
+            stats_df = legs[0]
+            for leg in legs[1:]:
+                stats_df = stats_df.unionByName(leg)
+            stats_rows = stats_df.collect()
+            page_stats = {(r["k"], r["i"]): r for r in stats_rows if r["_t"] == "p"}
+            new_counts = {(r["k"], r["i"]): r["n"] for r in stats_rows if r["_t"] == "n"}
+            shard_counts = {r["k"]: r["n"] for r in stats_rows if r["_t"] == "s"}
+            n_search = sum(r["i"] for r in stats_rows if r["_t"] == "s")
+            n_new_total = sum(new_counts.values())
+            if self.wave_seconds is not None:
+                self.domains.update(r["k"] for r in stats_rows if r["_t"] == "d")
+                if self.politeness.autothrottle:
+                    t = next(r for r in stats_rows if r["_t"] == "t")
+                    self.politeness.observe_wave(t["n"], t["i"])
+            mark("stats_collect")
 
-        # --- stop rules + pagination enqueue (sequential semantics) ----------
-        next_pages: list[tuple[str, str, int]] = []  # (url, city, page_idx)
-        for (city, page_idx), r in sorted(page_stats.items()):
-            st = self.city_states[city]
-            if self.mode == "refresh":
-                # collect_active_urls (funda_spider.py:492-504): no stop
-                # counters, next button ONLY (no manual fallback)
-                if page_idx >= self.max_pages or r["s"] is None:
+            # --- stop rules + pagination enqueue (sequential semantics) ----------
+            next_pages: list[tuple[str, str, int]] = []  # (url, city, page_idx)
+            for (city, page_idx), r in sorted(page_stats.items()):
+                st = self.city_states[city]
+                if self.mode == "refresh":
+                    # collect_active_urls (funda_spider.py:492-504): no stop
+                    # counters, next button ONLY (no manual fallback)
+                    if page_idx >= self.max_pages or r["s"] is None:
+                        st.stopped = True
+                    elif not st.stopped:
+                        next_pages.append((r["s"], city, page_idx + 1))
+                    continue
+                n_listings = r["n"] or 0
+                n_new = new_counts.get((city, page_idx), 0)
+                if n_listings == 0:
+                    st.consecutive_empty += 1
+                    if self.spider_type == "active":
+                        # the active spider's no-new check also fires on empty
+                        # pages (funda_spider.py:139-145 falls through); the
+                        # sold spider's fires only on non-empty pages
+                        # (funda_spider_sold.py:139-141)
+                        st.consecutive_no_new += 1
+                else:
+                    st.consecutive_empty = 0
+                    if n_new == 0:
+                        st.consecutive_no_new += 1
+                    else:
+                        st.consecutive_no_new = 0
+                no_new_threshold = 3 if self.spider_type == "active" else 1
+                if (
+                    st.consecutive_empty >= 3
+                    or st.consecutive_no_new >= no_new_threshold
+                    or page_idx >= self.max_pages
+                ):
                     st.stopped = True
                 elif not st.stopped:
-                    next_pages.append((r["s"], city, page_idx + 1))
-                continue
-            n_listings = r["n"] or 0
-            n_new = new_counts.get((city, page_idx), 0)
-            if n_listings == 0:
-                st.consecutive_empty += 1
-                if self.spider_type == "active":
-                    # the active spider's no-new check also fires on empty
-                    # pages (funda_spider.py:139-145 falls through); the
-                    # sold spider's fires only on non-empty pages
-                    # (funda_spider_sold.py:139-141)
-                    st.consecutive_no_new += 1
+                    # next button if present, else the manual ?page=N
+                    # construction (funda_spider.py:172-184 — a missing
+                    # button never stops the crawl; a past-the-end manual
+                    # page 404s and is dropped without retry)
+                    nxt = r["s"] or f"{self.seed_urls[city]}&page={page_idx + 1}"
+                    next_pages.append((nxt, city, page_idx + 1))
+
+            # --- build new frontier rows -----------------------------------------
+            if self.mode == "refresh":
+                # no detail fetches in refresh mode — collected URLs go to
+                # the refreshed_urls table instead
+                detail_rows = self.spark.createDataFrame([], FRONTIER_SCHEMA)
             else:
-                st.consecutive_empty = 0
-                if n_new == 0:
-                    st.consecutive_no_new += 1
-                else:
-                    st.consecutive_no_new = 0
-            no_new_threshold = 3 if self.spider_type == "active" else 1
-            if (
-                st.consecutive_empty >= 3
-                or st.consecutive_no_new >= no_new_threshold
-                or page_idx >= self.max_pages
-            ):
-                st.stopped = True
-            elif not st.stopped:
-                # next button if present, else the manual ?page=N
-                # construction (funda_spider.py:172-184 — a missing
-                # button never stops the crawl; a past-the-end manual
-                # page 404s and is dropped without retry)
-                nxt = r["s"] or f"{self.seed_urls[city]}&page={page_idx + 1}"
-                next_pages.append((nxt, city, page_idx + 1))
+                detail_rows = new_cands.select(
+                    "url",
+                    "url_hash",
+                    "domain",
+                    "domain_shard",
+                    F.lit("detail").alias("kind"),
+                    F.lit(PRIORITY_DETAIL).alias("priority"),
+                    "city",
+                    F.col("discovered_on_page").alias("page_idx"),
+                    "discovered_on_page",
+                    "page_pos",
+                    F.lit(wave).alias("wave_enqueued"),
+                    F.lit(0).alias("attempt"),
+                    F.lit("pending").alias("state"),
+                ).select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            if next_pages and self._robots is not None:
+                import re as _re
 
-        # --- build new frontier rows -----------------------------------------
-        if self.mode == "refresh":
-            # no detail fetches in refresh mode — collected URLs go to
-            # the refreshed_urls table instead
-            detail_rows = self.spark.createDataFrame([], FRONTIER_SCHEMA)
-        else:
-            detail_rows = new_cands.select(
-                "url",
-                "url_hash",
-                "domain",
-                "domain_shard",
-                F.lit("detail").alias("kind"),
-                F.lit(PRIORITY_DETAIL).alias("priority"),
-                "city",
-                F.col("discovered_on_page").alias("page_idx"),
-                "discovered_on_page",
-                "page_pos",
-                F.lit(wave).alias("wave_enqueued"),
-                F.lit(0).alias("attempt"),
-                F.lit("pending").alias("state"),
-            ).select(*[f.name for f in FRONTIER_SCHEMA.fields])
-        if next_pages and self._robots is not None:
-            import re as _re
-
-            next_pages = [
-                (u, c, p)
-                for (u, c, p) in next_pages
-                if self._robots.allowed(_re.sub(r"^https?://[^/]+", "", u))
-            ]
-        if next_pages:
-            page_prio = (
-                PRIORITY_REFRESH if self.mode == "refresh" else PRIORITY_PAGINATION
-            )
-            np_df = self.spark.createDataFrame(
-                [
-                    (u, "search", page_prio, c, p, p - 1, 0, 0, "pending")
+                next_pages = [
+                    (u, c, p)
                     for (u, c, p) in next_pages
-                ],
-                "url string, kind string, priority int, city string, page_idx int, "
-                "discovered_on_page int, page_pos int, attempt int, state string",
+                    if self._robots.allowed(_re.sub(r"^https?://[^/]+", "", u))
+                ]
+            if next_pages:
+                page_prio = (
+                    PRIORITY_REFRESH if self.mode == "refresh" else PRIORITY_PAGINATION
+                )
+                np_df = self.spark.createDataFrame(
+                    [
+                        (u, "search", page_prio, c, p, p - 1, 0, 0, "pending")
+                        for (u, c, p) in next_pages
+                    ],
+                    "url string, kind string, priority int, city string, page_idx int, "
+                    "discovered_on_page int, page_pos int, attempt int, state string",
+                )
+                np_rows = (
+                    with_url_keys(np_df, n_shards=self.n_shards)
+                    .withColumn("wave_enqueued", F.lit(wave))
+                    .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+                )
+                detail_rows = detail_rows.unionByName(np_rows)
+            # pending frontier = untouched + retryable + newly enqueued rows
+            new_pending = (
+                untouched
+                .unionByName(transitioned.filter(F.col("state") == "pending"))
+                .unionByName(detail_rows)
             )
-            np_rows = (
-                with_url_keys(np_df, n_shards=self.n_shards)
-                .withColumn("wave_enqueued", F.lit(wave))
-                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
-            )
-            detail_rows = detail_rows.unionByName(np_rows)
-        # pending frontier = untouched + retryable + newly enqueued rows
-        new_pending = (
-            untouched
-            .unionByName(transitioned.filter(F.col("state") == "pending"))
-            .unionByName(detail_rows)
-        )
-        futures.append(pool.submit(self._write, "frontier_pending", new_pending))
+            futures.append(pool.submit(self._write, "frontier_pending", new_pending))
 
-        # wave_metrics is ONE row — append it driver-side with pyarrow
-        # (tableformat.append_delta_rows): zero Spark jobs, zero
-        # scheduling round-trips, identical on-disk shape for readers
-        n_pages = sum(shard_counts.values())
-        self._versions["wave_metrics"] = self.wh.append_delta_rows(
-            "wave_metrics",
-            [
-                {
-                    "wave": wave,
-                    "pages_fetched": n_pages,
-                    "search_pages": n_search,
-                    "detail_pages": n_pages - n_search,
-                    "new_listing_urls": n_new_total,
-                    "shard_counts": json.dumps(
-                        dict(sorted(shard_counts.items())), separators=(",", ":")
-                    ),
-                }
-            ],
-            WAVE_METRICS_SCHEMA,
-        )
-        try:
+            # wave_metrics is ONE row — append it driver-side with pyarrow
+            # (tableformat.append_delta_rows): zero Spark jobs, zero
+            # scheduling round-trips, identical on-disk shape for readers
+            n_pages = sum(shard_counts.values())
+            self._versions["wave_metrics"] = self.wh.append_delta_rows(
+                "wave_metrics",
+                [
+                    {
+                        "wave": wave,
+                        "pages_fetched": n_pages,
+                        "search_pages": n_search,
+                        "detail_pages": n_pages - n_search,
+                        "new_listing_urls": n_new_total,
+                        "shard_counts": json.dumps(
+                            dict(sorted(shard_counts.items())), separators=(",", ":")
+                        ),
+                    }
+                ],
+                WAVE_METRICS_SCHEMA,
+            )
             for fu in futures:
                 fu.result()
         finally:
-            # always reap the pool: a failed write must not leak
-            # non-daemon worker threads (checkpoint is only written on
-            # full success, so a partial wave rolls back on reopen)
+            # always reap the pool — including on an exception
+            # raised anywhere between the phase-1 submits and the
+            # result loop (stats collect, stop rules): a leaked
+            # non-daemon worker would keep snapshot writes running
+            # unsupervised and block interpreter exit. Checkpoint
+            # is only written on full success, so a partial wave
+            # rolls back on reopen.
             pool.shutdown(wait=True)
         self.seen_count += n_new_total
         mark("snapshot_writes")

@@ -101,7 +101,13 @@ def extract_energy_label(text: Column, jsonld: Column | None = None) -> Column:
     (3) the description text: re.search with ([a-g](?:\\+{1,2})?), a
         substring match — 'energielabel a+++' yields 'A++'
         (funda_spider.py:248-252). First stage that yields wins."""
-    from_dd_raw = F.upper(_nn(F.regexp_extract(text, r"Energielabel:?\s*(\S+)", 1)))
+    # the WHOLE cleaned dd value (rest of line, trimmed) must pass the
+    # whitelist, mirroring the reference's strip().upper() + full-match
+    # on the complete dd text — a multi-token dd like 'B (voorlopig)'
+    # fails stage 1 entirely (no first-token truncation to 'B')
+    from_dd_raw = F.upper(
+        _nn(F.trim(F.regexp_extract(text, r"Energielabel:?[ \t]*([^\n\r]+)", 1)))
+    )
     from_dd = F.when(from_dd_raw.rlike(r"^[A-G](\+{1,2})?$"), from_dd_raw)
     stages = [from_dd]
     if jsonld is not None:

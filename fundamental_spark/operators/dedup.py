@@ -283,6 +283,14 @@ def minhash_lsh_pairs(
     states ``allow_low_recall=True`` (a documented candidate-generation
     operating point) — a silently under-recalling config was round-3
     verdict item #3."""
+    if (k is None) != (bands is None):
+        # deriving BOTH from the planner here would silently discard
+        # the caller's explicit half (e.g. k=128 with bands unset would
+        # run a different signature size than requested)
+        raise ValueError(
+            "pass both k and bands or neither; a partial explicit "
+            f"config (k={k}, bands={bands}) would be silently overridden"
+        )
     if k is None or bands is None:
         cfg = plan_minhash_config(threshold)
         if cfg is None:

@@ -510,11 +510,13 @@ def embedding_near_dup_auto(
     chosen plan is deterministic for a given operating point."""
     cfg = plan_near_dup_config(threshold, recall_target=recall_target)
     if cfg is None:
-        # exact branch rides the blocked-GEMM plan (round 4): same
+        # exact branch rides the DISTRIBUTED blocked-GEMM plan: same
         # result set as embedding_near_dup_pairs (the pure-JVM oracle
         # twin, kept registered separately), ~100× less per-pair
-        # overhead — numpy matmul per Arrow batch instead of an
-        # interpreted HOF dot product per pair
+        # overhead — numpy matmul per block pair instead of an
+        # interpreted HOF dot product per pair; no driver collect, any
+        # id type (round-5: the round-4 version collected the whole
+        # corpus matrix to the driver and hard-coded bigint ids)
         return embedding_near_dup_gemm(
             corpus, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
@@ -535,53 +537,107 @@ def embedding_near_dup_gemm(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold via blocked GEMM — the fast
-    exact plan (the near-dup twin of ``gemm_topk``). The corpus'
-    normalized float64 matrix is collected and broadcast ONCE (O(n·d)
-    bytes — any exact all-pairs plan already commits to O(n²·d)
-    compute, so the matrix transfer is never the binding term); each
-    partition scores its Arrow batch against it with one matmul and
-    emits only the id_a < id_b survivors at ≥ threshold. Cosines are
-    emitted raw and rounded JVM-side so the output is bit-aligned with
-    the DuckDB oracle exactly like ``ann_gemm``. The scale path for
-    huge n remains ``embedding_near_dup_lsh_pairs`` — exact n² is
+    """Exact all-pairs cosine ≥ threshold via DISTRIBUTED blocked GEMM
+    — the fast exact plan (the near-dup twin of ``gemm_topk``).
+
+    The corpus is hashed into ~n/``block_rows`` blocks, each folded to
+    one row holding its (id, vector) records; a driver-side metadata
+    table of the B(B+1)/2 block pairs equi-joins the block table twice,
+    and each task scores one block pair with a single float64 matmul,
+    emitting only the id_a < id_b survivors at ≥ threshold. Nothing is
+    ever collected to the driver (round-4 shipped a full-corpus
+    ``collect()`` + broadcast here — the first thing to fall over at a
+    1-10M-doc corpus); shuffle is O(n·d·B) bytes against the O(n²·d)
+    compute any exact all-pairs plan already commits to, so the
+    network is never the binding term. Ids keep their input type (the
+    output schema is parameterized, not hard-coded bigint). Cosines
+    are emitted raw and rounded JVM-side so the output is bit-aligned
+    with the DuckDB oracle exactly like ``ann_gemm``. The scale path
+    for huge n remains ``embedding_near_dup_lsh_pairs`` — exact n² is
     intrinsically bounded, this just removes its interpreter tax
     (~100× per pair vs the HOF plan)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    rows = corpus.select(id_col, vec_col).collect()
-    if not rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "id_a bigint, id_b bigint, cos double"
+    sess = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+    n = corpus.count()
+    if n == 0:
+        return sess.createDataFrame([], out_schema)
+    par = sess.sparkContext.defaultParallelism
+    # enough blocks that (a) a block matrix stays small (block_rows·d
+    # doubles) and (b) the pair fan-out B(B+1)/2 covers the cores
+    nblocks = max(math.ceil(n / block_rows), math.ceil(math.sqrt(2 * par)))
+
+    blocks = (
+        spread(corpus)
+        .select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int").alias("blk"),
+            F.struct(
+                F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+            ).alias("rec"),
         )
-    all_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        .groupBy("blk")
+        .agg(F.collect_list("rec").alias("recs"))
+    )
+    # block-pair metadata (ints only — never data) built driver-side;
+    # each unordered row pair lands in exactly one (blk_a <= blk_b) task
+    pair_meta = sess.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
+        "blk_a int, blk_b int",
+    )
+    tasks = (
+        pair_meta.join(
+            blocks.select(F.col("blk").alias("blk_a"), F.col("recs").alias("recs_a")),
+            "blk_a",
+        )
+        .join(
+            blocks.select(F.col("blk").alias("blk_b"), F.col("recs").alias("recs_b")),
+            "blk_b",
+        )
+        # the block table is tiny in ROWS (B of them), so AQE would
+        # coalesce this expanding join to 1-2 partitions and the GEMM
+        # would run nearly single-threaded — same respread rule as the
+        # band joins (dedup.py)
+        .repartition(min(nblocks * (nblocks + 1) // 2, 4 * par))
+    )
+
+    def _unpack(recs):
+        ids = np.array([r["id"] for r in recs])
+        mat = np.array([r["v"] for r in recs], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return ids, mat
 
     def score(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = cm @ mat.T  # (batch, n)
-            for i in range(len(ids)):
-                # margin covers the JVM-side round(…,4): a raw cos down
-                # to θ-5e-5 can still round up to ≥ θ
-                mask = (all_ids > ids[i]) & (sims[i] >= threshold - 1e-4)
-                hit = np.nonzero(mask)[0]
-                if len(hit) == 0:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.full(len(hit), ids[i]),
-                        "id_b": all_ids[hit],
-                        "cos": sims[i][hit],
-                    }
-                )
+            for row in pdf.itertuples(index=False):
+                ids_a, ma = _unpack(row.recs_a)
+                if row.blk_a == row.blk_b:
+                    sims = ma @ ma.T
+                    # margin covers the JVM-side round(…,4): a raw cos
+                    # down to θ-5e-5 can still round up to ≥ θ
+                    ii, jj = np.nonzero(
+                        (sims >= threshold - 1e-4)
+                        & (ids_a[:, None] < ids_a[None, :])
+                    )
+                    lo, hi, cs = ids_a[ii], ids_a[jj], sims[ii, jj]
+                else:
+                    ids_b, mb = _unpack(row.recs_b)
+                    sims = ma @ mb.T
+                    ii, jj = np.nonzero(sims >= threshold - 1e-4)
+                    ia, ib, cs = ids_a[ii], ids_b[jj], sims[ii, jj]
+                    flip = ib < ia
+                    lo = np.where(flip, ib, ia)
+                    hi = np.where(flip, ia, ib)
+                if len(lo):
+                    yield pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cs})
 
-    partial = spread(corpus).mapInPandas(score, "id_a bigint, id_b bigint, cos double")
+    partial = tasks.mapInPandas(score, out_schema)
     return partial.select(
         "id_a", "id_b", F.round("cos", 4).alias("cos")
     ).filter(F.col("cos") >= threshold)

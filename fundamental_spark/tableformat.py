@@ -313,9 +313,15 @@ class Warehouse:
         out = self._snapshot_dir(name, new_v)
         os.makedirs(out, exist_ok=True)
         committed = set(job(out))
+        # delete EVERY non-committed file, not just '*.parquet': a task
+        # attempt killed mid-write leaves its temp file (e.g. docsink's
+        # '*.parquet.inprogress') in the snapshot dir, and any stray
+        # file not starting with '_'/'.' would be treated as a data
+        # file by spark.read.parquet and break every subsequent read
         for f in os.listdir(out):
-            if f.endswith(".parquet") and f not in committed:
-                os.remove(os.path.join(out, f))
+            p = os.path.join(out, f)
+            if os.path.isfile(p) and f not in committed:
+                os.remove(p)
         self._write_pointer(name, new_v)
         return new_v
 
