@@ -475,16 +475,25 @@ class CrawlRunner:
         candidates = self._robots_filter(
             with_url_keys(candidates, n_shards=self.n_shards)
         )
-        # intra-wave dedup, keeping the canonically-first occurrence
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("url").orderBy(
-            "city", "discovered_on_page", "page_pos"
-        )
+        # intra-wave dedup, keeping the canonically-first occurrence.
+        # min(struct(...)) instead of a row_number window: the struct
+        # min is PARTIAL-aggregable (map-side combine collapses dups
+        # before the exchange, no per-url sort), while the window needs
+        # a full shuffle+sort of every candidate row. The trailing
+        # struct fields (url_hash/domain/shard) are functions of url —
+        # identical across dups — so the lexicographic struct order is
+        # exactly (city, discovered_on_page, page_pos).
         candidates = (
-            candidates.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
+            candidates.groupBy("url")
+            .agg(
+                F.min(
+                    F.struct(
+                        "city", "discovered_on_page", "page_pos",
+                        "url_hash", "domain", "domain_shard",
+                    )
+                ).alias("_s")
+            )
+            .select("url", "_s.*")
         )
         # bloom prefilter pays for itself only on huge seen sets; below
         # the threshold an exact broadcast anti-join is strictly faster.
