@@ -55,11 +55,116 @@ def build_big_documents(spark, src_dir: str) -> str:
     return BIG_DIR
 
 
+def scheduler_leg(spark, cpus: int) -> dict:
+    """One simulated scheduler DAY over the 10x (400-city, 122k-page)
+    site under jobs/scheduler.py's cadence twin (r4 verdict #6), in
+    batched mode: each tick's per-city jobs of one type collapse into
+    one multi-seed distributed drain (job-TYPE order preserved — the
+    jobMutex contract granularity). The known-URL set carries across
+    ticks, so the 23 hourly active re-crawls fetch only search pages
+    until the no-new rule fires — the reference's steady-state day.
+    The day's first full crawl (the midnight sold batch) is asserted
+    equal, on wave_metrics totals, to a standalone runner drain of the
+    same site with the same spider type."""
+    import tempfile
+    from types import SimpleNamespace
+
+    from fundamental_spark.crawl.runner import CrawlRunner
+    from fundamental_spark.synth.site import build_site, spec_web_rows
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jobs.scheduler import simulate_day_batched
+
+    n_cities, listings = 400, 300
+    site = build_site(
+        seed=42,
+        cities=tuple(f"city{i:03d}" for i in range(n_cities)),
+        listings_per_city=listings,
+        page_size=50,
+        description_words=24,
+        render_details=False,
+    )
+    rows, _ = spec_web_rows(site, description_words=24)
+    web = spark.createDataFrame(
+        rows, "url string, html string, spec string"
+    ).repartition(cpus).cache()
+    web.count()
+
+    out: dict = {"cities": n_cities, "listings_per_city": listings}
+    std_root = tempfile.mkdtemp(prefix="fs_sched_std_")
+    day_root = tempfile.mkdtemp(prefix="fs_sched_day_")
+    try:
+        # standalone reference drain (sold spider — the day's first job)
+        t0 = time.perf_counter()
+        std = CrawlRunner(
+            spark=spark, warehouse_root=std_root, web=web, spider_type="sold"
+        )
+        std.init([(site.search_url(c, 1), c) for c in site.cities])
+        std.run()
+        std_metrics = std.table("wave_metrics").collect()
+        out["standalone_sold"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "pages": int(sum(m["pages_fetched"] for m in std_metrics)),
+            "new_urls": int(sum(m["new_listing_urls"] for m in std_metrics)),
+        }
+
+        args = SimpleNamespace(warehouse=day_root, max_pages=100)
+        t0 = time.perf_counter()
+        day = simulate_day_batched(spark, args, web, site, weekday=0)
+        out["day_sec"] = round(time.perf_counter() - t0, 2)
+        out["jobs"] = len(day)
+        out["day_pages_total"] = int(
+            sum(j.get("pages_fetched", 0) for j in day)
+        )
+        first_crawl = next(j for j in day if j["job"] == "sold")
+        out["midnight_sold"] = {
+            "pages": first_crawl["pages_fetched"],
+            "new_urls": first_crawl["new_listing_urls"],
+        }
+        out["matches_standalone"] = (
+            first_crawl["pages_fetched"] == out["standalone_sold"]["pages"]
+            and first_crawl["new_listing_urls"] == out["standalone_sold"]["new_urls"]
+        )
+        by_type: dict[str, dict] = {}
+        for j in day:
+            b = by_type.setdefault(
+                j["job"], {"jobs": 0, "pages": 0, "waves": 0}
+            )
+            b["jobs"] += 1
+            b["pages"] += j.get("pages_fetched", 0)
+            b["waves"] += j.get("waves", 0)
+        out["by_type"] = by_type
+
+        # analytics over the day's ingested table (r4 verdict #9
+        # stretch): district medians at the crawl's own 10x scale —
+        # the full extract -> bucketed MERGE -> analysis path, timed
+        from fundamental_spark.operators.analysis import district_price_medians
+        from fundamental_spark.tableformat import Warehouse
+
+        props = Warehouse(spark, f"{day_root}/props")
+        t0 = time.perf_counter()
+        med = district_price_medians(
+            props.read("properties"), as_of="2024-06-01"
+        )
+        n_districts = med.count()
+        out["district_medians"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "districts": int(n_districts),
+            "properties": int(props.read("properties").count()),
+        }
+    finally:
+        shutil.rmtree(std_root, ignore_errors=True)
+        shutil.rmtree(day_root, ignore_errors=True)
+        web.unpersist()
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     crawl_only = "--crawl-only" in sys.argv
     dedup_only = "--dedup-only" in sys.argv
+    scheduler_only = "--scheduler-only" in sys.argv
 
     from fundamental_spark.session import get_spark
 
@@ -70,6 +175,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     result: dict = {"replicas": REPLICAS, "cpus": cpus, "src": src_dir}
+
+    if scheduler_only:
+        result["scheduler"] = scheduler_leg(spark, cpus)
+        print(json.dumps(result))
+        return
 
     if not dedup_only:
         import bench
@@ -104,6 +214,9 @@ def main() -> None:
         # LSH the 100 TB path.
         result["neardup"] = neardup_leg(spark, src_dir)
         result["boilerplate"] = boilerplate_leg(spark, src_dir)
+
+    if not crawl_only and not dedup_only:
+        result["scheduler"] = scheduler_leg(spark, cpus)
 
     print(json.dumps(result))
 
@@ -142,6 +255,22 @@ def neardup_leg(spark, src_dir: str, n_src: int = 1000) -> dict:
         timings[name] = {
             "sec": round(time.perf_counter() - t0, 2),
             "rows": rows,
+        }
+    # verify-plan A/B (round-5, r4 verdict #8): the same registered
+    # operating point with the interpreted long-array intersect vs the
+    # codegen explode-join count — outputs must be identical; the auto
+    # switch picks 'join' at dense candidate volumes based on this.
+    from fundamental_spark.operators.dedup import minhash_lsh_pairs
+
+    docs_df = spark.read.parquet(out)
+    for plan in ("array", "join"):
+        t0 = time.perf_counter()
+        rows = minhash_lsh_pairs(
+            docs_df, threshold=0.1, k=64, bands=16,
+            allow_low_recall=True, verify_plan=plan,
+        ).count()
+        timings[f"minhash_verify_{plan}"] = {
+            "sec": round(time.perf_counter() - t0, 2), "rows": rows,
         }
     shutil.rmtree(out_dir, ignore_errors=True)
     return timings

@@ -137,7 +137,10 @@ def make_documents_sink(out_dir: str, wave: int, has_spec: bool):
                 pid = 0 if ctx is None else ctx.partitionId()
                 name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
                 final = os.path.join(out_dir, name)
-                tmp = final + ".inprogress"
+                # leading '.' so a task killed mid-write leaves a file
+                # every Spark/parquet reader IGNORES even if the commit
+                # protocol's orphan sweep (append_delta_files) misses it
+                tmp = os.path.join(out_dir, "." + name + ".inprogress")
                 writer = pq.ParquetWriter(tmp, DOC_SCHEMA, compression="snappy")
             writer.write_batch(rb)
             n_total += rb.num_rows

@@ -295,9 +295,15 @@ class CrawlRunner:
         self._versions[name] = self.wh.append_delta(name, df)
 
     # ---- initialization ----------------------------------------------------
-    def init(self, seeds: list[tuple[str, str]], existing_urls: list[str] | None = None) -> None:
+    def init(
+        self,
+        seeds: list[tuple[str, str]],
+        existing_urls: list[str] | DataFrame | None = None,
+    ) -> None:
         """seeds: [(seed_search_url, city)]; existing_urls: pre-seen set
-        (the DB-backed set, funda_spider.py:46)."""
+        (the DB-backed set, funda_spider.py:46) — a driver-side list or,
+        at scale, a one-column DataFrame of urls that never touches the
+        driver."""
         spark = self.spark
         seed_prio = PRIORITY_REFRESH if self.mode == "refresh" else PRIORITY_SEED
         seed_rows = [
@@ -323,9 +329,14 @@ class CrawlRunner:
         # round 1.
         inits = [("frontier_pending", frontier)]
 
-        seen_src = spark.createDataFrame(
-            [(u,) for u in (existing_urls or [])], "url string"
-        )
+        if isinstance(existing_urls, DataFrame):
+            seen_src = existing_urls.select(
+                F.col(existing_urls.columns[0]).alias("url")
+            )
+        else:
+            seen_src = spark.createDataFrame(
+                [(u,) for u in (existing_urls or [])], "url string"
+            )
         seen = (
             with_url_keys(seen_src, n_shards=self.n_shards)
             .withColumn("first_seen_wave", F.lit(-1))

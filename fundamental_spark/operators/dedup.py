@@ -272,6 +272,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     verify_exact: bool = True,
     allow_low_recall: bool = False,
+    verify_plan: str = "auto",
+    join_verify_min: int = 200_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs. Candidates collide in ≥1 band of
     r=k/bands rows; with verify_exact the candidates are confirmed with
@@ -282,7 +284,17 @@ def minhash_lsh_pairs(
     an explicit config below that recall raises unless the caller
     states ``allow_low_recall=True`` (a documented candidate-generation
     operating point) — a silently under-recalling config was round-3
-    verdict item #3."""
+    verdict item #3.
+
+    ``verify_plan``: 'array' verifies each candidate pair row-wise with
+    a long-array ``array_intersect`` (no extra shuffle; the HOF is
+    interpreted, ~candidate-proportional); 'join' re-derives the
+    intersection with the codegen explode-join COUNT the DuckDB oracle
+    uses (cinter CTE shape) — one extra shuffle on (doc, hash) but no
+    interpreter in the loop, the winner at dense candidate volumes;
+    'auto' (default) counts the (cached) candidates and picks 'join'
+    at ≥ ``join_verify_min`` pairs. Both plans are bit-identical
+    (shingles are distinct per doc, so join-count == |∩|)."""
     if (k is None) != (bands is None):
         # deriving BOTH from the planner here would silently discard
         # the caller's explicit half (e.g. k=128 with bands unset would
@@ -348,6 +360,49 @@ def minhash_lsh_pairs(
     )
     if not verify_exact:
         return cands
+    if verify_plan not in ("auto", "array", "join"):
+        raise ValueError(f"unknown verify_plan {verify_plan!r}")
+    chosen = verify_plan
+    if chosen == "auto":
+        # the count materializes candidate generation once (cached);
+        # the verify below reuses it, so the extra action costs only
+        # the count scan, not a second band join
+        cands = cands.cache()
+        chosen = "join" if cands.count() >= join_verify_min else "array"
+    if chosen == "join":
+        # codegen explode-join intersection count — the oracle's cinter
+        # CTE shape. Shingles are distinct per doc (word_shingles is
+        # array_distinct), so COUNT(*) of hash matches == |∩| exactly.
+        ex = (
+            spread(docs)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+            )
+            .select("doc", _md5_hash60(F.col("sh")).alias("h"))
+        )
+        sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
+        inter = (
+            cands.join(ex.select(F.col("doc").alias("doc_a"), "h"), "doc_a")
+            .join(ex.select(F.col("doc").alias("doc_b"), "h"), ["doc_b", "h"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        scored_j = (
+            inter.join(
+                sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")),
+                "doc_b",
+            )
+        )
+        jac_j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        return (
+            scored_j.filter(jac_j >= threshold)
+            .select("doc_a", "doc_b", F.round(jac_j, 4).alias("jaccard"))
+        )
     # Candidate-proportional verification: join each candidate pair to
     # the two docs' shingle-HASH arrays and verify row-wise with
     # array_intersect — cost ∝ |candidates| × shingles/doc, never

@@ -270,3 +270,25 @@ def test_word_kgrams_regex_equivalence(spark):
         got = [r["g"] for r in df.select(word_kgrams(F.col("text"), n).alias("g")).collect()]
         want = [ref(t[0], n) for t in rows]
         assert got == want, (n, got, want)
+
+
+def test_minhash_verify_plans_bit_identical(planted):
+    """Round-5 (r4 verdict #8): the codegen explode-join verify must
+    reproduce the long-array intersect verify bit-for-bit (shingles
+    are distinct per doc, so join-count == |intersection|), and the
+    auto switch must accept both regimes."""
+    runs = {
+        plan: sorted(
+            tuple(r)
+            for r in minhash_lsh_pairs(
+                planted, threshold=0.3, verify_plan=plan
+            ).collect()
+        )
+        for plan in ("array", "join", "auto")
+    }
+    assert runs["array"] == runs["join"] == runs["auto"]
+    assert runs["array"]  # planted near-dups present
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(planted, threshold=0.3, verify_plan="nope").collect()

