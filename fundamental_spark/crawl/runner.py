@@ -359,6 +359,21 @@ class CrawlRunner:
                 else spark.createDataFrame([], RESPONSE_CACHE_SCHEMA_DDL)
             )
             inits.append(("response_cache", cache0))
+        # init is a RESET: the scheduler reuses one warehouse root
+        # across ticks, and delta tables union EVERY snapshot since the
+        # floor — a leftover run's rows would leak into read_deltas (a
+        # reused root reported the previous run's wave_metrics/documents
+        # as this run's). Drop the table dirs (and any stale checkpoint
+        # pins) before the bootstrap snapshots.
+        self._versions = {}
+        for name, _ in inits:
+            self.wh.drop(name)
+        if not self.http_cache:
+            self.wh.drop("response_cache")
+        # ...and the scalar state a stale checkpoint may have restored
+        # in __init__ (bloom sizing hint, AutoThrottle delay)
+        self.seen_count = 0
+        self.politeness.current_delay_s = None  # re-derives lazily
         # bootstrap snapshots are independent: commit them concurrently
         # (same driver-thread trick as the per-wave writes) — the serial
         # version cost ~7 scheduling round-trips of pure fixed overhead
