@@ -273,7 +273,7 @@ def minhash_lsh_pairs(
     verify_exact: bool = True,
     allow_low_recall: bool = False,
     verify_plan: str = "auto",
-    join_verify_min: int = 200_000,
+    join_verify_min: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs. Candidates collide in ≥1 band of
     r=k/bands rows; with verify_exact the candidates are confirmed with
@@ -287,14 +287,23 @@ def minhash_lsh_pairs(
     verdict item #3.
 
     ``verify_plan``: 'array' verifies each candidate pair row-wise with
-    a long-array ``array_intersect`` (no extra shuffle; the HOF is
-    interpreted, ~candidate-proportional); 'join' re-derives the
-    intersection with the codegen explode-join COUNT the DuckDB oracle
-    uses (cinter CTE shape) — one extra shuffle on (doc, hash) but no
-    interpreter in the loop, the winner at dense candidate volumes;
-    'auto' (default) counts the (cached) candidates and picks 'join'
-    at ≥ ``join_verify_min`` pairs. Both plans are bit-identical
-    (shingles are distinct per doc, so join-count == |∩|)."""
+    a long-array ``array_intersect`` (ships one compact hash array per
+    doc per pair; the HOF is interpreted but candidate-proportional);
+    'join' re-derives the intersection with the codegen explode-join
+    COUNT the DuckDB oracle uses (cinter CTE shape) — no interpreter
+    in the loop, but the candidate×shingle expansion (~300 rows/pair
+    at web-page shingle counts) crosses TWO extra exchanges. Measured
+    A/B at 41k / 0.4M / 3.6M candidate pairs (local[32], sf0.1-derived
+    corpora, bit-identical outputs): array 2.0/16.7/32.3 s vs join
+    3.3/27.2/54.4 s — the hypothesized dense-volume crossover does not
+    exist at realistic shingle counts, because the join's shuffle
+    volume grows with the same |candidates|×shingles/doc product that
+    the array plan pays only interpreter-cycles for. 'auto' therefore
+    resolves to 'array' unless the caller sets ``join_verify_min`` (a
+    measured-crossover escape hatch for corpora with very long shingle
+    arrays, where per-pair array rows outweigh exploded hash rows).
+    Both plans are bit-identical (shingles are distinct per doc, so
+    join-count == |∩|)."""
     if (k is None) != (bands is None):
         # deriving BOTH from the planner here would silently discard
         # the caller's explicit half (e.g. k=128 with bands unset would
@@ -364,11 +373,18 @@ def minhash_lsh_pairs(
         raise ValueError(f"unknown verify_plan {verify_plan!r}")
     chosen = verify_plan
     if chosen == "auto":
-        # the count materializes candidate generation once (cached);
-        # the verify below reuses it, so the extra action costs only
-        # the count scan, not a second band join
-        cands = cands.cache()
-        chosen = "join" if cands.count() >= join_verify_min else "array"
+        if join_verify_min is None:
+            # no measured crossover on this corpus class (see docstring
+            # A/B): array wins at every tested volume, and skipping the
+            # count also skips a cache + extra action
+            chosen = "array"
+        else:
+            # caller supplied a measured crossover: the count
+            # materializes candidate generation once (cached); the
+            # verify below reuses it, so the extra action costs only
+            # the count scan, not a second band join
+            cands = cands.cache()
+            chosen = "join" if cands.count() >= join_verify_min else "array"
     if chosen == "join":
         # codegen explode-join intersection count — the oracle's cinter
         # CTE shape. Shingles are distinct per doc (word_shingles is

@@ -288,6 +288,15 @@ def test_minhash_verify_plans_bit_identical(planted):
     }
     assert runs["array"] == runs["join"] == runs["auto"]
     assert runs["array"]  # planted near-dups present
+    # explicit crossover: auto + join_verify_min exercises the
+    # cached-count dispatch branch and must stay bit-identical
+    forced = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            planted, threshold=0.3, verify_plan="auto", join_verify_min=1
+        ).collect()
+    )
+    assert forced == runs["array"]
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
