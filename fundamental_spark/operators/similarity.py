@@ -660,3 +660,74 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(cos, 4).alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, then WITHIN each cluster drop every
+    vector that has an earlier-id neighbor at cosine ≥ threshold. One
+    representative (the min-id one) survives per tight semantic group;
+    cross-cluster comparisons — the quadratic cost SemDeDup exists to
+    avoid — are never generated. The drop rule is a deterministic
+    greedy-by-id variant of the paper's in-cluster dedup (the paper
+    picks the survivor by centroid distance or at random; id order
+    keeps the retained set reproducible and SQL-expressible, with the
+    same retained-mass behavior).
+
+    Returns one row per corpus vector: (id, cell, kept).
+
+    Spark plan: deterministic spherical k-means (``kmeans_centroids`` —
+    the same centroid machinery the ann_ivf DuckDB oracle re-derives as
+    unrolled CTE rounds), JVM-side argmax cell assignment, then ONE
+    exchange grouping each cell's vectors into an Arrow batch where a
+    single float64 matmul scores all of the cell's pairs and a
+    column-wise any() marks the dropped ids (applyInPandas; no pair
+    table is ever materialized). 100 TB notes: compute is O(Σ n_c²), so
+    ``n_centroids`` must scale ~n/target_cell_size (SemDeDup uses 110k
+    clusters for LAION-scale corpora); a skewed giant cell concentrates
+    its n_c² matmul in one task — raise n_centroids or pre-split hot
+    cells with the block-pair trick of ``embedding_near_dup_gemm``
+    before shipping a cluster-scale run."""
+    import numpy as np
+    import pandas as pd
+
+    sess = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, cell int, kept boolean"
+    cents = kmeans_centroids(
+        corpus, n_centroids=n_centroids, n_iters=kmeans_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if not cents:
+        return sess.createDataFrame([], out_schema)
+    assigned = spread(corpus).select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+        _nearest_cells_col(cents, F.col(vec_col), 1)[0].alias("cell"),
+    )
+
+    def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        mat /= nrm
+        sims = mat @ mat.T
+        # dropped[j] ⇔ ∃ i<j with cos(i,j) ≥ θ; ids are sorted, so
+        # "earlier id" is exactly the strict upper triangle
+        hot = sims >= threshold
+        hot[np.tril_indices(len(pdf))] = False
+        dropped = hot.any(axis=0)
+        return pd.DataFrame(
+            {"id": pdf["id"].to_numpy(), "cell": pdf["cell"].to_numpy(),
+             "kept": ~dropped}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(cell_dedup, out_schema)

@@ -73,6 +73,7 @@ from .operators.similarity import (
     gemm_topk,
     ivf_topk,
     lsh_topk,
+    semdedup,
 )
 
 
@@ -1547,6 +1548,42 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_hit",
         F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_5"),
+    )
+
+
+@q(
+    "semdedup_stats",
+    _ivf_cents_cte()
+    + """,
+    sd_cass AS (SELECT vec_id AS id, v, cell FROM (
+               SELECT e.vec_id, e.v, c.cell,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                                  c.cell DESC) AS rn
+               FROM e CROSS JOIN c3 c) WHERE rn = 1),
+    sd_dropped AS (SELECT DISTINCT b.id FROM sd_cass a JOIN sd_cass b
+                   ON a.cell = b.cell AND a.id < b.id
+                   AND list_cosine_similarity(a.v, b.v) >= 0.4)
+    SELECT CAST(c.cell AS INT) AS cell, COUNT(*) AS n_docs,
+           COUNT(d.id) AS n_dropped
+    FROM sd_cass c LEFT JOIN sd_dropped d ON d.id = c.id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def semdedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: per-cell
+    corpus size and dropped count under the greedy earlier-id-neighbor
+    rule at cosine ≥ 0.4. Fully oracle-checked: DuckDB re-derives the
+    deterministic k-means cells (the ann_ivf CTE rounds), the argmax
+    assignment, and the in-cell EXISTS drop rule."""
+    out = semdedup(T(spark, sf_dir, "embeddings"), threshold=0.4)
+    return (
+        out.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("cell")
     )
 
 

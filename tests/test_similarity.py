@@ -261,3 +261,47 @@ def test_gemm_blocked_multi_block_and_string_ids(spark):
         for a, b, c in jvm
     )
     assert got_pairs == want
+
+
+def test_semdedup_greedy_rule_vs_numpy_reference(vectors, spark):
+    """SemDeDup: the distributed per-cell matmul must reproduce the
+    greedy earlier-id drop rule computed independently (numpy over the
+    same deterministic cells), and every dropped id must have an
+    earlier-id same-cell witness at >= threshold."""
+    import numpy as np
+
+    from fundamental_spark.operators.similarity import (
+        _nearest_cells_col,
+        kmeans_centroids,
+        semdedup,
+    )
+
+    emb, _ = vectors
+    thr = 0.9
+    got = {r["id"]: (r["cell"], r["kept"]) for r in
+           semdedup(emb, threshold=thr, n_centroids=4).collect()}
+    assert len(got) == emb.count()
+    # the planted twin (200 ~ 0) shares a cell and must be dropped,
+    # its earlier-id original kept
+    assert got[200][0] == got[0][0]
+    assert got[0][1] and not got[200][1]
+
+    # independent reference: same centroids (public function), argmax
+    # assignment JVM-side, then a pure-numpy greedy pass
+    cents = kmeans_centroids(emb, n_centroids=4)
+    assigned = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        _nearest_cells_col(cents, F.col("embedding"), 1)[0].alias("cell"),
+    ).collect()
+    by_cell: dict[int, list] = {}
+    for r in sorted(assigned, key=lambda r: r["id"]):
+        by_cell.setdefault(r["cell"], []).append(r)
+    want = {}
+    for cell, rs in by_cell.items():
+        mat = np.array([r["embedding"] for r in rs], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        for j, r in enumerate(rs):
+            dropped = any(sims[i, j] >= thr for i in range(j))
+            want[r["id"]] = (cell, not dropped)
+    assert got == want
