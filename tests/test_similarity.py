@@ -305,3 +305,45 @@ def test_semdedup_greedy_rule_vs_numpy_reference(vectors, spark):
             dropped = any(sims[i, j] >= thr for i in range(j))
             want[r["id"]] = (cell, not dropped)
     assert got == want
+
+
+def test_pq_topk_planted_twin_and_determinism(vectors, spark):
+    """PQ+re-rank must surface the planted near-identical twin at rank
+    1 (it survives any reasonable ADC cut and wins the exact re-rank),
+    and training must be run-to-run deterministic (no RNG anywhere)."""
+    from fundamental_spark.operators.similarity import pq_codebooks, pq_topk
+
+    emb, _ = vectors  # dim=16
+    res = pq_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=3,
+        m=4, ksub=8, rerank=20,
+    )
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in res.collect())
+    assert rows[0] == (1, 200)  # the planted twin wins the exact re-rank
+    assert len(rows) == 3
+
+    cb1 = pq_codebooks(emb, m=4, ksub=8)
+    cb2 = pq_codebooks(emb, m=4, ksub=8)
+    assert cb1 == cb2
+    assert len(cb1) == 4 and all(len(s) == 8 for s in cb1)
+    assert all(len(c) == 4 for s in cb1 for c in s)
+
+
+def test_pq_rerank_bounds_exact_work(vectors, spark):
+    """The re-rank stage must only ever touch rerank candidates per
+    query: with rerank >= corpus the result equals brute force exactly
+    (the ADC cut keeps everything), pinning the two-stage semantics."""
+    from fundamental_spark.operators.similarity import pq_topk
+
+    emb, _ = vectors
+    q = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    bf = sorted(
+        tuple(r)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    )
+    pq_full = sorted(
+        tuple(r)
+        for r in pq_topk(emb, q, k=5, m=4, ksub=8, rerank=n).collect()
+    )
+    assert pq_full == bf
