@@ -257,3 +257,103 @@ def packing_stats(docs: DataFrame, ctx: int = 512) -> DataFrame:
             "avg_fill"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture resampling (domain weighting, the "data mixing" step)
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source mixture resampling — the domain-
+    weighting step every pretraining run tunes (e.g. Wikipedia at 2.5
+    epochs, low-quality crawl at 0.25). A rate r emits ⌊r⌋ full copies
+    of every row plus a fractional copy kept when the (id, epoch)-keyed
+    hash falls under frac(r); rows carry a 0-based ``epoch`` column so
+    downstream packing can interleave copies instead of clustering
+    them.
+
+    Determinism/scale: a pure row-wise expression (explode over ≤⌈r⌉
+    sequence elements — ZERO shuffle, the with_split property), keyed
+    on the same md5-derived 60-bit hash as the split/packing tier so
+    the DuckDB oracle reproduces every keep decision bit-for-bit.
+    Every run, engine, and executor count lands on the identical
+    sample — reshuffling the cluster can't silently change the
+    mixture."""
+    rate: F.Column | None = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(source_col) == s
+        rate = (
+            F.when(cond, F.lit(float(r)))
+            if rate is None
+            else rate.when(cond, F.lit(float(r)))
+        )
+    rate_col = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    scale = 1_000_000
+    with_rate = docs.withColumn("mix_rate", rate_col)
+    epoch = F.explode(
+        F.sequence(F.lit(0), F.ceil(F.col("mix_rate")).cast("int") - 1)
+    )
+    u = F.pmod(
+        _md5_hash60(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit("#"), F.col("epoch").cast("string")
+            )
+        ),
+        F.lit(scale),
+    )
+    return (
+        with_rate.withColumn("epoch", epoch)
+        .withColumn("mix_u", u)
+        .filter(
+            (F.col("epoch") + 1 <= F.floor(F.col("mix_rate")))
+            | (
+                F.col("mix_u")
+                < (F.col("mix_rate") - F.floor(F.col("mix_rate"))) * scale
+            )
+        )
+        .drop("mix_rate", "mix_u")
+    )
+
+
+def mixture_stats(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source achieved mixture: input rows, emitted rows (across
+    epochs), and the achieved rate — the number a mixture run is tuned
+    against."""
+    n_in = docs.groupBy(source_col).agg(F.count("*").alias("n_in"))
+    n_out = (
+        mixture_sample(
+            docs, rates, default_rate=default_rate,
+            source_col=source_col, id_col=id_col,
+        )
+        .groupBy(source_col)
+        .agg(F.count("*").alias("n_out"))
+    )
+    return (
+        n_in.join(n_out, source_col, "left")
+        .select(
+            source_col,
+            "n_in",
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.round(F.coalesce("n_out", F.lit(0)) / F.col("n_in"), 4).alias(
+                "achieved_rate"
+            ),
+        )
+        .orderBy(source_col)
+    )

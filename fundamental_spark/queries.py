@@ -1803,6 +1803,7 @@ from .operators.pipeline import (  # noqa: E402
     EMAIL_RE,
     PHONE_RE,
     contamination_check,
+    mixture_stats,
     packing_stats,
     pii_stats,
     repetition_metrics,
@@ -1948,3 +1949,48 @@ def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(exclusive-cumsum / ctx) — two window functions over ONE
     exchange; shards pack independently (the multi-executor property)."""
     return packing_stats(T(spark, sf_dir, "documents"), ctx=512)
+
+
+# mixture rates for the registered query: exercises integer upsampling
+# (2.0 — exactly two epochs, no hash draw), fractional upsampling
+# (2.5), aggressive downsampling (0.25), and the default (0.6). The
+# CROSS JOIN bound (0..2) is ceil(max rate) - 1, fixed by the same
+# literal config on both engines.
+_MIXTURE_RATES = {"src0": 2.5, "src1": 2.0, "src2": 0.25}
+
+
+@q(
+    "mixture_stats",
+    """
+    WITH md AS (SELECT doc_id, source,
+                   CASE WHEN source = 'src0' THEN 2.5
+                        WHEN source = 'src1' THEN 2.0
+                        WHEN source = 'src2' THEN 0.25
+                        ELSE 0.6 END AS rate
+                FROM documents),
+    mex AS (SELECT m.doc_id, m.source, m.rate, g.generate_series AS epoch
+            FROM md m CROSS JOIN generate_series(0, 2) g
+            WHERE g.generate_series < CAST(ceil(m.rate) AS INT)),
+    kept AS (SELECT * FROM mex
+             WHERE epoch + 1 <= floor(rate)
+                OR (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                          || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000)
+                   < (rate - floor(rate)) * 1000000),
+    m_in AS (SELECT source, COUNT(*) AS n_in FROM documents GROUP BY 1),
+    m_out AS (SELECT source, COUNT(*) AS n_out FROM kept GROUP BY 1)
+    SELECT i.source, i.n_in, COALESCE(o.n_out, 0) AS n_out,
+           ROUND(COALESCE(o.n_out, 0) / i.n_in, 4) AS achieved_rate
+    FROM m_in i LEFT JOIN m_out o USING (source) ORDER BY 1
+    """,
+)
+def mixture_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture resampling (B6): per-source achieved rate under
+    deterministic hash-keyed epoch sampling — upsampled sources emit
+    ⌊r⌋ full copies plus a hash-drawn fractional epoch; every keep
+    decision is a pure function of (doc_id, epoch), so the mixture is
+    identical on any engine, executor count, or rerun. Zero-shuffle
+    row-wise plan (the with_split property)."""
+    return mixture_stats(
+        T(spark, sf_dir, "documents"), _MIXTURE_RATES, default_rate=0.6
+    )

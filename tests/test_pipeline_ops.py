@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from fundamental_spark.operators.pipeline import (
     contamination_check,
+    mixture_sample,
+    mixture_stats,
     pack_sequences,
     pii_scrub,
     repetition_metrics,
@@ -83,6 +85,55 @@ def test_contamination_check_planted(spark):
            contamination_check(docs, bench, n=5).collect()}
     assert "leak" in got and got["leak"] >= 1  # shares 'the quick brown fox jumps'
     assert "clean" not in got
+
+
+def test_mixture_sample_deterministic_epochs(spark):
+    docs = spark.createDataFrame(
+        [(str(i), "wiki" if i % 2 else "crawl", "t") for i in range(2000)],
+        "doc_id string, source string, text string",
+    )
+    rates = {"wiki": 2.0, "crawl": 0.5}
+    out = mixture_sample(docs, rates).collect()
+    by_id: dict[tuple, list] = {}
+    for r in out:
+        by_id.setdefault((r["doc_id"], r["source"]), []).append(r["epoch"])
+    # integer rate: EVERY wiki doc appears exactly twice, epochs {0,1}
+    wiki = [v for (_, s), v in by_id.items() if s == "wiki"]
+    assert len(wiki) == 1000 and all(sorted(v) == [0, 1] for v in wiki)
+    # fractional downsample: kept crawl docs appear once at epoch 0,
+    # and the achieved rate sits near 0.5 (hash noise bounded)
+    crawl = [v for (_, s), v in by_id.items() if s == "crawl"]
+    assert all(v == [0] for v in crawl)
+    assert 400 <= len(crawl) <= 600
+    # pure function of (doc_id, epoch): identical under repartitioning
+    again = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mixture_sample(docs.repartition(13), rates).collect()
+    )
+    assert again == sorted((r["doc_id"], r["epoch"]) for r in out)
+
+
+def test_mixture_sample_zero_shuffle_plan(spark):
+    docs = spark.createDataFrame(
+        [("a", "s", "t")], "doc_id string, source string, text string"
+    )
+    plan = mixture_sample(docs, {"s": 1.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-wise explode+filter, no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_stats_achieved_rates(spark):
+    docs = spark.createDataFrame(
+        [(str(i), f"s{i % 4}", "t") for i in range(4000)],
+        "doc_id string, source string, text string",
+    )
+    rates = {"s0": 2.5, "s1": 2.0, "s2": 0.25}
+    got = {r["source"]: r for r in
+           mixture_stats(docs, rates, default_rate=1.0).collect()}
+    assert got["s1"]["n_out"] == 2000 and got["s1"]["achieved_rate"] == 2.0
+    assert got["s3"]["n_out"] == 1000  # default 1.0 keeps everything
+    assert abs(got["s0"]["achieved_rate"] - 2.5) < 0.15
+    assert abs(got["s2"]["achieved_rate"] - 0.25) < 0.1
 
 
 def test_pack_sequences_sequential_fill(spark):
