@@ -6,11 +6,10 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementations live in ``fundamental_spark.queries`` (operator
-registry) — every SQL-expressible operator has a DuckDB oracle twin
-(37 oracle-matched queries); the genuinely non-SQL ops (MinHash LSH,
-SimHash, hyperplane-LSH ANN + its recall metric, banded near-dup LSH)
-are registered without one (rows-only check) and carry quantitative
-pytest twins instead.
+registry). As of round 5 EVERY registered query carries a full DuckDB
+oracle — including the LSH/IVF/PQ ANN family, whose deterministic
+plane/centroid/codebook constructions are unrolled into SQL CTEs —
+so the driver's correctness gate is rows+schema+hash for all of them.
 """
 
 from __future__ import annotations

@@ -357,3 +357,126 @@ def mixture_stats(
         )
         .orderBy(source_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line deduplication (CCNet / C4 style)
+# ---------------------------------------------------------------------------
+
+
+def line_occurrences(
+    docs: DataFrame,
+    delimiter: str = "\n",
+    chunk_words: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per line occurrence: (id, [extra…], pos, line,
+    line_hash). ``chunk_words`` re-chunks whitespace tokens into
+    fixed-width pseudo-lines for corpora without newline structure
+    (the synthetic documents table has none); real crawl text splits
+    on ``delimiter``. Downstream consumers project the line text away
+    before any exchange — only the 60-bit hash plus (id, pos) and the
+    requested passthrough columns ever shuffle."""
+    cols = [id_col, *extra_cols]
+    if chunk_words is not None:
+        words = F.split(F.col(text_col), " ")
+        last = (F.ceil(F.size(words) / F.lit(chunk_words)) - 1).cast("int")
+        occ = docs.select(
+            *cols, words.alias("_w"),
+            F.explode(F.sequence(F.lit(0), last)).alias("pos"),
+        ).select(
+            *cols, "pos",
+            F.array_join(
+                F.slice("_w", F.col("pos") * chunk_words + 1, chunk_words), " "
+            ).alias("line"),
+        )
+    else:
+        occ = docs.select(
+            *cols,
+            F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
+        )
+    return occ.withColumn("line_hash", _md5_hash60(F.col("line")))
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    mode: str = "keep_first",
+    delimiter: str = "\n",
+    chunk_words: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus-level duplicated-line removal — the CCNet (Wenzek 2020)
+    / C4 cleaning step that strips boilerplate (cookie banners, nav
+    text) repeated across documents. Returns every line occurrence
+    tagged with its corpus frequency ``line_df`` and a ``kept`` flag:
+    ``mode='keep_first'`` keeps only the lexicographically-first
+    (id, pos) occurrence of each over-threshold line (CCNet);
+    ``mode='drop_all'`` drops every occurrence of a line seen
+    ``min_df``+ times (the C4 rule).
+
+    Scale: line frequency and first-occurrence come from ONE
+    partial-aggregable groupBy on the 60-bit line hash (map-side
+    combine — one skinny row per DISTINCT line crosses the exchange)
+    joined back to the occurrences, deliberately NOT a
+    count/row_number window: a boilerplate line with 10^8 occurrences
+    lands on a single task under a window's per-hash sort, while the
+    agg side here combines it map-side and AQE can skew-split the
+    join (the same lesson as the round-5 crawl candidate-dedup fix).
+    Every decision is a pure function of (line text, id, pos) —
+    identical on any engine, executor count, or rerun."""
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"unknown dedup_lines mode {mode!r}")
+    occ = line_occurrences(
+        docs, delimiter=delimiter, chunk_words=chunk_words,
+        id_col=id_col, text_col=text_col, extra_cols=extra_cols,
+    )
+    groups = occ.groupBy("line_hash").agg(
+        F.count("*").alias("line_df"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    )
+    joined = occ.join(groups, "line_hash")
+    if mode == "keep_first":
+        kept = (F.col("line_df") < min_df) | (
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+    else:
+        kept = F.col("line_df") < F.lit(min_df)
+    return joined.withColumn("kept", kept).drop("_first")
+
+
+def line_dedup_stats(
+    docs: DataFrame,
+    min_df: int = 2,
+    mode: str = "keep_first",
+    delimiter: str = "\n",
+    chunk_words: int | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group line-dedup summary: occurrences, distinct lines,
+    dropped occurrences, and documents touched — the audit table a
+    cleaning run reports before committing the drop."""
+    lines = dedup_lines(
+        docs, min_df=min_df, mode=mode, delimiter=delimiter,
+        chunk_words=chunk_words, id_col=id_col, text_col=text_col,
+        extra_cols=(group_col,),
+    )
+    return (
+        lines.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("line_hash").alias("n_distinct_lines"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+            F.countDistinct(
+                F.when(~F.col("kept"), F.col(id_col))
+            ).alias("n_docs_modified"),
+        )
+        .orderBy(group_col)
+    )

@@ -1803,6 +1803,7 @@ from .operators.pipeline import (  # noqa: E402
     EMAIL_RE,
     PHONE_RE,
     contamination_check,
+    line_dedup_stats,
     mixture_stats,
     packing_stats,
     pii_stats,
@@ -1993,4 +1994,47 @@ def mixture_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-wise plan (the with_split property)."""
     return mixture_stats(
         T(spark, sf_dir, "documents"), _MIXTURE_RATES, default_rate=0.6
+    )
+
+
+@q(
+    "line_dedup_stats",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS wl
+               FROM documents),
+    occ AS (SELECT doc_id, source, wl,
+                   unnest(range(0, CAST(ceil(len(wl)/10.0) AS BIGINT))) AS pos
+            FROM w),
+    lines AS (SELECT doc_id, source, pos,
+                     array_to_string(
+                       list_slice(wl, pos*10 + 1, pos*10 + 10), ' ') AS line
+              FROM occ),
+    h AS (SELECT doc_id, source, pos,
+                 CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS line_hash
+          FROM lines),
+    g AS (SELECT *, COUNT(*) OVER (PARTITION BY line_hash) AS line_df,
+                 ROW_NUMBER() OVER (PARTITION BY line_hash
+                                    ORDER BY doc_id, pos) AS rn
+          FROM h),
+    k AS (SELECT *, (line_df < 2 OR rn = 1) AS kept FROM g)
+    SELECT source,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT line_hash) AS n_distinct_lines,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           COUNT(DISTINCT CASE WHEN NOT kept THEN doc_id END) AS n_docs_modified
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def line_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line removal (B7, CCNet/C4): 10-word
+    pseudo-lines (the synthetic corpus has no newlines), corpus line
+    frequency from a partial-aggregable hash groupBy (NOT a window —
+    a 10^8-occurrence boilerplate line would serialize a window's
+    per-hash sort onto one task; the agg combines map-side and AQE
+    can skew-split the join-back), keep-first semantics, per-source
+    audit rollup. The oracle's row_number()=1 equals the plan's
+    min(struct(doc_id,pos)) because (doc_id,pos) is unique."""
+    return line_dedup_stats(
+        T(spark, sf_dir, "documents"), min_df=2, mode="keep_first",
+        chunk_words=10,
     )

@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 
 from fundamental_spark.operators.pipeline import (
     contamination_check,
+    dedup_lines,
+    line_dedup_stats,
+    line_occurrences,
     mixture_sample,
     mixture_stats,
     pack_sequences,
@@ -150,3 +153,60 @@ def test_pack_sequences_sequential_fill(spark):
             assert bins[(s, f"{s}{i:02d}")] == (10 * i) // 32
     # bins are monotone within a shard and restart per shard
     assert bins[("en", "en00")] == 0 and bins[("fr", "fr00")] == 0
+
+
+def test_dedup_lines_keep_first_and_drop_all(spark):
+    boiler = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, "s0", f"unique one\n{boiler}\nalso unique"),
+            (2, "s0", f"{boiler}\nanother body"),
+            (3, "s1", f"third body\n{boiler}"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = dedup_lines(docs, min_df=2, mode="keep_first").collect()
+    dup = [r for r in out if r["line"] == boiler]
+    assert len(dup) == 3 and all(r["line_df"] == 3 for r in dup)
+    # keep_first: only the lexicographically-first (doc_id, pos) stays
+    kept = [(r["doc_id"], r["pos"]) for r in dup if r["kept"]]
+    assert kept == [(1, 1)]
+    # unique lines all survive
+    assert all(r["kept"] for r in out if r["line"] != boiler)
+    # drop_all: every occurrence of the over-threshold line goes
+    out_da = dedup_lines(docs, min_df=2, mode="drop_all").collect()
+    assert not any(r["kept"] for r in out_da if r["line"] == boiler)
+    assert all(r["kept"] for r in out_da if r["line"] != boiler)
+    # pure function of (line, doc_id, pos): stable under repartitioning
+    again = sorted(
+        (r["doc_id"], r["pos"], r["kept"])
+        for r in dedup_lines(docs.repartition(7), min_df=2).collect()
+    )
+    assert again == sorted((r["doc_id"], r["pos"], r["kept"]) for r in out)
+
+
+def test_line_occurrences_chunk_words(spark):
+    words = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    occ = {r["pos"]: r["line"]
+           for r in line_occurrences(docs, chunk_words=10).collect()}
+    # 25 words -> 3 chunks of 10/10/5, in order, nothing lost
+    assert len(occ) == 3
+    assert occ[0] == " ".join(words[:10])
+    assert occ[1] == " ".join(words[10:20])
+    assert occ[2] == " ".join(words[20:])
+
+
+def test_dedup_lines_agg_join_plan_no_window(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "a\nb")], "doc_id bigint, source string, text string"
+    )
+    df = line_dedup_stats(docs, group_col="source")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # frequency comes from a partial-aggregable groupBy + join, never a
+    # window (a hot boilerplate line would serialize onto one task)
+    assert "Window" not in plan
+    assert "partial_count" in plan  # map-side combine on line_hash
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
