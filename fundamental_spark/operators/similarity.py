@@ -50,6 +50,41 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm(ad) * norm(bd))
 
 
+# ---- SQL-text twins of the fold primitives --------------------------------
+#
+# Literal-heavy expressions (a dot product against a 64-component
+# constant centroid/plane, repeated 8-16×) built Column-by-Column cost
+# ~3 py4j round trips PER COMPONENT on the driver — measured 2-5 s of
+# pure plan-BUILD time per LSH/IVF/PQ stage at bench scale, dwarfing
+# the 0.2-0.3 s of actual execution. These helpers render the SAME
+# expression tree as one SQL string parsed in a single F.expr call
+# (double literals via repr() round-trip + CAST, so the values are
+# bit-identical to F.lit), cutting plan construction to milliseconds.
+
+
+def _dlit(x: float) -> str:
+    """SQL double literal that round-trips repr() exactly."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_arr(vals: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _sql_dot(vec_sql: str, vals: list[float]) -> str:
+    """Textual twin of ``dot()``: the identical zip_with/aggregate
+    left-associative fold, same start value, same lambda shapes."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_arr(vals)}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_to_double(vec_sql: str) -> str:
+    """Textual twin of ``_to_double``."""
+    return f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,17 +205,22 @@ def _plane_constants(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(vec: Column, n_planes: int, dim: int) -> Column:
-    """Sign signature as a long: bit i = (vec · plane_i) > 0."""
+def lsh_signature(vec_name: str, n_planes: int, dim: int) -> Column:
+    """Sign signature as a long: bit i = (vec · plane_i) > 0.
+    ``vec_name`` is the input COLUMN NAME — the whole signature is one
+    SQL string (see the _sql_dot rationale above: Column-by-Column
+    construction of n_planes×dim literals cost seconds of driver-side
+    py4j before any job ran)."""
     planes = _plane_constants(n_planes, dim)
-    sig = F.lit(0).cast("long")
-    vd = _to_double(vec)
+    vd = _sql_to_double(f"`{vec_name}`")
+    sig = "CAST(0 AS BIGINT)"
     for i, p in enumerate(planes):
-        d = dot(vd, F.array(*[F.lit(c) for c in p]))
-        sig = sig.bitwiseOR(
-            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        d = _sql_dot(vd, p)
+        sig = (
+            f"({sig} | (CASE WHEN ({d}) > 0 THEN "
+            f"shiftleft(CAST(1 AS BIGINT), {i}) ELSE 0 END))"
         )
-    return sig
+    return F.expr(sig)
 
 
 def lsh_topk(
@@ -199,12 +239,12 @@ def lsh_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_signature(F.col(vec_col), n_planes, dim).alias("qsig"),
+        lsh_signature(vec_col, n_planes, dim).alias("qsig"),
     )
     # multi-probe: query probes its own bucket + all hamming-1 buckets
     probes = q.select(
@@ -250,22 +290,22 @@ def _unit(vec: list[float]) -> list[float]:
     return [round(x / n, 9) for x in vec]
 
 
-def _nearest_cells_col(cents_normed: list[list[float]], vec: Column, n: int) -> Column:
+def _nearest_cells_col(
+    cents_normed: list[list[float]], vec_name: str, n: int
+) -> Column:
     """Array of the n nearest centroid indices, computed JVM-side.
     Centroids are unit-normalized, so cosine argmax reduces to a dot
-    product (the per-vector norm divides every score equally)."""
-    vd = _to_double(vec)
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vd, F.array(*[F.lit(x) for x in cvec])).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, cvec in enumerate(cents_normed)
-        ]
+    product (the per-vector norm divides every score equally).
+    ``vec_name`` is the input COLUMN NAME — the n_centroids×dim
+    literal matrix is rendered as one SQL string (see _sql_dot)."""
+    vd = _sql_to_double(f"`{vec_name}`")
+    scored = "array(" + ", ".join(
+        f"named_struct('s', {_sql_dot(vd, cvec)}, 'c', {i})"
+        for i, cvec in enumerate(cents_normed)
+    ) + ")"
+    return F.expr(
+        f"transform(slice(reverse(array_sort({scored})), 1, {n}), t -> t.c)"
     )
-    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-    return F.transform(top, lambda t: t["c"])
 
 
 def kmeans_centroids(
@@ -297,7 +337,7 @@ def kmeans_centroids(
         # aliases during analysis — stage them instead
         comps = (
             base.select(
-                _nearest_cells_col(cents, F.col("v"), 1)[0].alias("cell"),
+                _nearest_cells_col(cents, "v", 1)[0].alias("cell"),
                 F.col("v"),
             )
             .select("cell", F.posexplode("v").alias("pos", "x"))
@@ -350,14 +390,14 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            _nearest_cells_col(cents, F.col(vec_col), n_assign).alias("cells"),
+            _nearest_cells_col(cents, vec_col, n_assign).alias("cells"),
         )
         .select("neighbor_id", "cv", F.explode("cells").alias("cell"))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(_nearest_cells_col(cents, F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(_nearest_cells_col(cents, vec_col, n_probe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -409,7 +449,7 @@ def embedding_near_dup_lsh_pairs(
     vd = _to_double(F.col(vec_col))
     banded = base.select(
         F.col(id_col).alias("id"),
-        lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+        lsh_signature(vec_col, n_planes, dim).alias("sig"),
     ).select(
         "id",
         F.posexplode(
@@ -710,7 +750,7 @@ def semdedup(
     assigned = spread(corpus).select(
         F.col(id_col).alias("id"),
         _to_double(F.col(vec_col)).alias("v"),
-        _nearest_cells_col(cents, F.col(vec_col), 1)[0].alias("cell"),
+        _nearest_cells_col(cents, vec_col, 1)[0].alias("cell"),
     )
 
     def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -747,7 +787,11 @@ def semdedup(
 # that janino compilation alone cost ~12 s per stage — the interpreted
 # fold projection (the ann_ivf pattern) is ~25× faster end-to-end at
 # bench scale and the per-row cost only matters if PQ encoding is run
-# un-sampled over the full corpus (see pq_topk notes).
+# un-sampled over the full corpus (see pq_topk notes). A third cost
+# hid on the DRIVER: building those folds Column-by-Column spent ~3
+# py4j round trips per literal × m·ksub·dsub literals ≈ 15-19 s of
+# plan BUILD per pq_topk call before any job ran — now rendered as
+# SQL strings (one F.expr parse; see the _sql_dot block up top).
 
 
 def _unit_vec(vec: Column) -> Column:
@@ -756,30 +800,32 @@ def _unit_vec(vec: Column) -> Column:
     return F.transform(vd, lambda x: x / F.sqrt(dot(vd, vd)))
 
 
-def _pq_dist_key(u: Column, s: int, dsub: int, cvec: list[float]) -> Column:
+def _pq_dist_key_sql(u_sql: str, s: int, dsub: int, cvec: list[float]) -> str:
     """Monotone L2 key for subspace ``s``: ‖u_s − c‖² minus the
     centroid-independent ‖u_s‖² term — i.e. −2⟨u_s,c⟩ + ‖c‖², with
-    ‖c‖² computed by the same sequential fold on both engines."""
-    sub = F.slice(u, s * dsub + 1, dsub)
+    ‖c‖² computed by the same sequential fold on both engines.
+    Rendered as SQL text (see _sql_dot rationale)."""
+    sub = f"slice({u_sql}, {s * dsub + 1}, {dsub})"
     c2 = 0.0
     for c in cvec:
         c2 = c2 + float(c) * float(c)
-    return F.lit(-2.0) * dot(sub, F.array(*[F.lit(float(c)) for c in cvec])) + F.lit(c2)
+    return f"CAST(-2.0 AS DOUBLE) * ({_sql_dot(sub, cvec)}) + {_dlit(c2)}"
 
 
-def _pq_argmin_code(u: Column, s: int, dsub: int, cents_s: list[list[float]]) -> Column:
+def _pq_argmin_code(
+    u_name: str, s: int, dsub: int, cents_s: list[list[float]]
+) -> Column:
     """Nearest-centroid code for subspace ``s``: ascending struct-array
     sort on (distance key, index) — ties take the smaller index,
-    mirrored by the oracle's ORDER BY key ASC, c ASC."""
-    scored = F.array(
-        *[
-            F.struct(
-                _pq_dist_key(u, s, dsub, cvec).alias("d"), F.lit(j).alias("c")
-            )
-            for j, cvec in enumerate(cents_s)
-        ]
-    )
-    return F.array_sort(scored)[0]["c"]
+    mirrored by the oracle's ORDER BY key ASC, c ASC. ``u_name`` is the
+    unit-vector COLUMN NAME; the ksub×dsub literal block renders as one
+    SQL string."""
+    u_sql = f"`{u_name}`"
+    scored = "array(" + ", ".join(
+        f"named_struct('d', {_pq_dist_key_sql(u_sql, s, dsub, cvec)}, 'c', {j})"
+        for j, cvec in enumerate(cents_s)
+    ) + ")"
+    return F.expr(f"array_sort({scored})[0].c")
 
 
 def pq_codebooks(
@@ -820,7 +866,7 @@ def pq_codebooks(
         sel = [
             F.struct(
                 F.lit(s).alias("s"),
-                _pq_argmin_code(F.col("u"), s, dsub, cents[s]).alias("cell"),
+                _pq_argmin_code("u", s, dsub, cents[s]).alias("cell"),
                 F.slice("u", s * dsub + 1, dsub).alias("x"),
             )
             for s in range(m)
@@ -891,7 +937,7 @@ def pq_topk(
     codes = cu.select(
         "neighbor_id",
         *[
-            _pq_argmin_code(F.col("u"), s, dsub, cb[s]).alias(f"code_{s}")
+            _pq_argmin_code("u", s, dsub, cb[s]).alias(f"code_{s}")
             for s in range(m)
         ],
     )
@@ -901,19 +947,15 @@ def pq_topk(
         F.col(vec_col).alias("qv_raw"),
         _unit_vec(F.col(vec_col)).alias("qu"),
     )
+    lut_sql = "array(" + ", ".join(
+        _sql_dot(f"slice(`qu`, {s * dsub + 1}, {dsub})", cb[s][j])
+        for s in range(m)
+        for j in range(ksub)
+    ) + ")"
     qlut = qu.select(
         "query_id",
         "qv_raw",
-        F.array(
-            *[
-                dot(
-                    F.slice("qu", s * dsub + 1, dsub),
-                    F.array(*[F.lit(float(c)) for c in cb[s][j]]),
-                )
-                for s in range(m)
-                for j in range(ksub)
-            ]
-        ).alias("lut"),
+        F.expr(lut_sql).alias("lut"),
     )
     score = None
     for s in range(m):

@@ -291,7 +291,7 @@ def test_semdedup_greedy_rule_vs_numpy_reference(vectors, spark):
     cents = kmeans_centroids(emb, n_centroids=4)
     assigned = emb.select(
         F.col("vec_id").alias("id"), "embedding",
-        _nearest_cells_col(cents, F.col("embedding"), 1)[0].alias("cell"),
+        _nearest_cells_col(cents, "embedding", 1)[0].alias("cell"),
     ).collect()
     by_cell: dict[int, list] = {}
     for r in sorted(assigned, key=lambda r: r["id"]):
