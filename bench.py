@@ -169,6 +169,11 @@ HEADLINE_QUERIES = [
     "packing_stats",
     "train_split_stats",
     "pii_stats",
+    # round 5 additions
+    "mixture_stats",
+    "line_dedup_stats",
+    "semdedup_stats",
+    "ann_pq",
 ]
 
 
