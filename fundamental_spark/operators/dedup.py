@@ -710,3 +710,96 @@ def dedup_cluster_assignment(
         F.count("*").over(w).alias("cluster_size"),
         (F.col("v") == F.col("label")).alias("keep"),
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_len: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated-substring spans per document — the
+    distributed k-gram form of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes every substring of >= 50 tokens that appears twice in the
+    corpus; there it is a single-machine suffix array, here the
+    corpus-scale approximation every large pipeline uses: a token
+    position is duplicated iff the k-gram starting there occurs >= 2
+    times corpus-wide, and overlapping/adjacent duplicated k-gram
+    intervals are merged into maximal spans).
+
+    Returns (doc_id, pos, span_len): one row per maximal span of
+    length >= ``min_len`` tokens, ``pos`` the 0-based start token.
+
+    Plan: one codegen regex pass builds the ordered k-grams
+    (word_kgrams), posexplode attaches start positions; occurrence
+    counts are a map-side-combinable groupBy on the 60-bit gram hash
+    (the exchange carries one row per DISTINCT gram, not per
+    position); positions meet their counts in a hash join on the gram
+    hash (AQE skew-split applies when a boilerplate gram dominates);
+    the interval merge is one window over (doc, pos) — the gaps-and-
+    islands trick: a new span starts when the gap to the previous
+    duplicated start exceeds k (start p covers tokens [p, p+k-1], so
+    p' <= p+k overlaps-or-touches). Every stage is keyed and linear;
+    nothing quadratic, no Python."""
+    from pyspark.sql import Window
+
+    grams = spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(word_kgrams(F.col(text_col), k)).alias("pos", "g"),
+    ).select("doc", "pos", _md5_hash60(F.col("g")).alias("gh"))
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gh")
+    )
+    dp = grams.join(dup_gh, "gh").select("doc", "pos")
+    wo = Window.partitionBy("doc").orderBy("pos")
+    prev = F.lag("pos").over(wo)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    isl = dp.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc", "island")
+        .agg(F.min("pos").alias("pos"), (F.max("pos") - F.min("pos") + k).alias("span_len"))
+        .filter(F.col("span_len") >= min_len)
+        .select(F.col("doc").alias(id_col), "pos", "span_len")
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_len: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: (doc_id, n_tokens,
+    n_spans, dup_tokens, dup_frac) over the maximal spans from
+    ``dup_spans`` (spans are disjoint by construction, so dup_tokens
+    is their plain sum). Docs with no qualifying span keep a zero row
+    — the downstream filter ("drop docs with dup_frac > x" / "cut the
+    spans out") needs the full corpus, not just offenders."""
+    from ..functions.text import token_count
+
+    spans = dup_spans(docs, k=k, min_len=min_len, id_col=id_col, text_col=text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"), F.sum("span_len").alias("dup_tokens")
+    )
+    base = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_frac"),
+    )

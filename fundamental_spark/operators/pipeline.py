@@ -480,3 +480,118 @@ def line_dedup_stats(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM fluency scoring + per-language buckets (the CCNet shape)
+# ---------------------------------------------------------------------------
+
+
+def lm_fluency(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency under a bigram transition model TRAINED ON
+    THE CORPUS ITSELF — the engine-side analogue of CCNet's KenLM
+    perplexity scoring (Wenzek et al. 2020): documents whose token
+    transitions are typical of the corpus score high, word-soup and
+    boilerplate-mangled text scores low. (CCNet scores against an
+    external Wikipedia KenLM; shipping one is a model artifact, not an
+    engine op — the corpus-trained model is the deterministic,
+    self-contained form and exercises the identical plan shape: count,
+    join, score.)
+
+    Scoring is INTEGER-EXACT so an independent engine reproduces it
+    bit-for-bit: each bigram position contributes
+    q = floor(1e6 * (c(w_prev w) + 1) / (c(w_prev) + V)) parts-per-
+    million of Laplace-smoothed transition probability (V = corpus
+    vocab size), and the per-doc score is the exact integer mean
+    score_ppm = sum(q) DIV n_bigrams. No float ever crosses an aggregation, so shuffle order
+    cannot perturb the result (IEEE double division is correctly
+    rounded and therefore engine-identical; SUM of doubles is NOT
+    order-stable — the reason q is floored to an integer first).
+
+    Plan: two map-side-combinable count aggs (unigram, bigram), one
+    codegen regex pass for the bigram stream, two hash joins to attach
+    counts (AQE skew-split applies to stop-word prefixes), one final
+    groupBy(doc). Docs with < 2 tokens have no bigram and are
+    excluded (unscoreable, exactly as CCNet drops empty lines).
+
+    Returns (doc_id, lang, n_bigrams, score_ppm)."""
+    from .dedup import spread
+
+    base = spread(docs).select(
+        F.col(id_col).alias("doc"), F.col("lang"), F.col(text_col).alias("t")
+    )
+    bg_occ = base.select(
+        "doc",
+        "lang",
+        F.explode(word_kgrams(F.col("t"), 2)).alias("bg"),
+    ).withColumn("prev", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    uni = (
+        base.select(F.explode(F.split(F.trim("t"), r"\s+")).alias("prev"))
+        .groupBy("prev")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    big = bg_occ.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    # Laplace (+1 / +V) smoothing: without it, a chain of SINGLETON
+    # transitions scores a perfect 1.0 (its prev token only ever
+    # precedes that word) — the self-trained-model degeneracy CCNet
+    # sidesteps with an external LM. V is the corpus vocab size, a
+    # one-row broadcast (never a driver collect).
+    vocab = uni.agg(F.count("*").alias("v"))
+    scored = (
+        bg_occ.join(big, "bg")
+        .join(uni, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "q",
+            F.floor(
+                F.lit(1000000.0) * (F.col("c_bg") + 1) / (F.col("c_uni") + F.col("v"))
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy("doc", "lang")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("q").alias("s"))
+        .select(
+            F.col("doc").alias(id_col),
+            "lang",
+            "n_bigrams",
+            # true integer division (Spark `div`), NOT double-div+cast:
+            # DuckDB casts double->bigint by ROUNDING, Spark by
+            # truncation — integer DIV is identical in both engines
+            F.expr("s div n_bigrams").cast("bigint").alias("score_ppm"),
+        )
+    )
+
+
+def lm_fluency_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing: NTILE(n) over fluency within
+    each LANGUAGE (CCNet buckets per language, never globally — the
+    partitioned window is also what keeps the sort parallel: one
+    language never serializes the corpus). Order is (score_ppm DESC,
+    doc_id) — integer keys, so the tercile boundaries are engine-exact.
+
+    At 100 TB the per-language sort is the scaling ceiling of the
+    exact form; the deployment path replaces NTILE with bucket-by-
+    comparison against approx-quantile cutoffs (two scans, no global
+    sort) and accepts boundary fuzz — this exact form is the oracle
+    that validates it. Returns (doc_id, lang, n_bigrams, score_ppm,
+    bucket, bucket_name)."""
+    scored = lm_fluency(docs, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy("lang").orderBy(F.desc("score_ppm"), F.asc(id_col))
+    named = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == n_buckets, "tail")
+        .otherwise("middle")
+    )
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w)).withColumn(
+        "bucket_name", named
+    )

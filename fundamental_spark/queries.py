@@ -53,6 +53,7 @@ from .operators.dedup import (
     MERSENNE61,
     _mh_constants,
     dedup_cluster_assignment,
+    dup_span_stats,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_near_dup_auto,
@@ -1804,6 +1805,7 @@ from .operators.pipeline import (  # noqa: E402
     PHONE_RE,
     contamination_check,
     line_dedup_stats,
+    lm_fluency_buckets,
     mixture_stats,
     packing_stats,
     pii_stats,
@@ -2038,3 +2040,96 @@ def line_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "documents"), min_df=2, mode="keep_first",
         chunk_words=10,
     )
+
+
+@q(
+    "dup_span_stats",
+    """
+    WITH arr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+                 FROM documents),
+    pg AS (SELECT doc_id, i - 1 AS pos,
+                  CAST(('0x' || substr(md5(
+                    a[i]||' '||a[i+1]||' '||a[i+2]||' '||a[i+3]||' '||
+                    a[i+4]||' '||a[i+5]||' '||a[i+6]||' '||a[i+7]), 1, 15))
+                    AS BIGINT) AS gh
+           FROM arr, UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+           WHERE len(a) >= 8),
+    dup AS (SELECT gh FROM pg GROUP BY gh HAVING COUNT(*) >= 2),
+    dp AS (SELECT p.doc_id, p.pos FROM pg p JOIN dup USING (gh)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) <= 8
+                        THEN 0 ELSE 1 END AS brk
+            FROM dp),
+    isl2 AS (SELECT doc_id, pos,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, MIN(pos) AS p0, MAX(pos) AS p1
+              FROM isl2 GROUP BY doc_id, island),
+    good AS (SELECT doc_id, COUNT(*) AS n_spans,
+                    CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens
+             FROM spans WHERE p1 - p0 + 8 >= 12 GROUP BY doc_id),
+    base AS (SELECT doc_id,
+                    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                      AS n_tokens
+             FROM documents)
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(g.n_spans, 0) AS n_spans,
+           COALESCE(g.dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(g.dup_tokens, 0) * 1.0
+                 / GREATEST(b.n_tokens, 1), 4) AS dup_frac
+    FROM base b LEFT JOIN good g USING (doc_id)
+    """,
+)
+def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup coverage (Lee et al. 2022, distributed
+    k-gram form): per-doc maximal duplicated-span stats at k=8,
+    min_len=12. The gram-count agg is map-side combinable (one row
+    per DISTINCT gram crosses the exchange; a window over gram hash
+    would serialize boilerplate grams onto one task), membership is
+    an AQE-skew-splittable hash join, and the interval merge is one
+    window over (doc, pos)."""
+    return dup_span_stats(T(spark, sf_dir, "documents"), k=8, min_len=12)
+
+
+@q(
+    "lm_fluency_buckets",
+    """
+    WITH arr AS (SELECT doc_id, lang,
+                        string_split_regex(trim(text), '\\s+') AS a
+                 FROM documents),
+    bg AS (SELECT doc_id, lang, a[i] AS prev, a[i] || ' ' || a[i+1] AS bg
+           FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+           WHERE len(a) >= 2),
+    uni AS (SELECT tok AS prev, COUNT(*) AS c_uni
+            FROM (SELECT unnest(a) AS tok FROM arr) GROUP BY tok),
+    bgc AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+    voc AS (SELECT COUNT(*) AS v FROM uni),
+    qv AS (SELECT b.doc_id, b.lang,
+                  CAST(floor(1000000.0 * (c.c_bg + 1) / (u.c_uni + voc.v))
+                       AS BIGINT) AS q
+           FROM bg b JOIN bgc c USING (bg) JOIN uni u USING (prev)
+           CROSS JOIN voc),
+    sc AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams, SUM(q) AS s
+           FROM qv GROUP BY doc_id, lang),
+    scored AS (SELECT doc_id, lang, n_bigrams,
+                      CAST(s // n_bigrams AS BIGINT) AS score_ppm FROM sc),
+    nt AS (SELECT *,
+                  CAST(NTILE(3) OVER (PARTITION BY lang
+                                      ORDER BY score_ppm DESC, doc_id)
+                       AS INTEGER) AS bucket
+           FROM scored)
+    SELECT doc_id, lang, n_bigrams, score_ppm, bucket,
+           CASE WHEN bucket = 1 THEN 'head'
+                WHEN bucket = 3 THEN 'tail'
+                ELSE 'middle' END AS bucket_name
+    FROM nt
+    """,
+)
+def lm_fluency_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language fluency buckets under a corpus-trained
+    bigram LM (Wenzek et al. 2020). Integer-exact scoring (ppm floor)
+    so no float crosses an aggregation; NTILE partitioned by lang (the
+    CCNet semantics AND what keeps the sort parallel)."""
+    return lm_fluency_buckets(T(spark, sf_dir, "documents"), n_buckets=3)

@@ -301,3 +301,54 @@ def test_minhash_verify_plans_bit_identical(planted):
 
     with _pytest.raises(ValueError):
         minhash_lsh_pairs(planted, threshold=0.3, verify_plan="nope").collect()
+
+
+def test_dup_spans_planted(spark):
+    """A 20-token block planted in two docs becomes one maximal span
+    in each; unique text yields none; a doc repeating the block twice
+    internally reports both (merged if overlapping)."""
+    from fundamental_spark.operators.dedup import dup_span_stats, dup_spans
+
+    rng = random.Random(7)
+    block = " ".join(WORDS[rng.randrange(len(WORDS))] for _ in range(20))
+    uniq1 = _doc(random.Random(11), 40)
+    uniq2 = _doc(random.Random(13), 40)
+    docs = spark.createDataFrame(
+        [
+            (1, uniq1 + " " + block),            # block at pos 40
+            (2, block + " " + uniq2),            # block at pos 0
+            (3, _doc(random.Random(17), 50)),    # no dup
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        (r["doc_id"], r["pos"], r["span_len"])
+        for r in dup_spans(docs, k=8, min_len=12).collect()
+    }
+    assert (1, 40, 20) in spans
+    assert (2, 0, 20) in spans
+    assert not any(d == 3 for d, _, _ in spans)
+
+    stats = {r["doc_id"]: r for r in dup_span_stats(docs, k=8, min_len=12).collect()}
+    assert stats[1]["dup_tokens"] == 20 and stats[1]["n_spans"] == 1
+    assert stats[2]["dup_frac"] == round(20 / 60, 4)
+    assert stats[3]["n_spans"] == 0 and stats[3]["dup_frac"] == 0.0
+
+
+def test_dup_spans_internal_repeat_merges(spark):
+    """The same 10-gram repeated back-to-back inside ONE doc: every
+    start position is duplicated (the gram occurs twice), and the
+    adjacent duplicated intervals merge into a single maximal span
+    covering the whole repeated region."""
+    from fundamental_spark.operators.dedup import dup_spans
+
+    block = " ".join(WORDS[:10])
+    filler = _doc(random.Random(23), 30)
+    docs = spark.createDataFrame(
+        [(1, block + " " + block + " " + filler)],
+        "doc_id bigint, text string",
+    )
+    rows = dup_spans(docs, k=8, min_len=12).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["pos"] == 0 and r["span_len"] == 20

@@ -210,3 +210,47 @@ def test_dedup_lines_agg_join_plan_no_window(spark):
     assert "Window" not in plan
     assert "partial_count" in plan  # map-side combine on line_hash
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_fluency_typical_beats_soup(spark):
+    """Docs made of the corpus's dominant transitions score above a
+    doc of one-off transitions; scoring is integer-exact and docs
+    with < 2 tokens are excluded."""
+    from fundamental_spark.operators.pipeline import lm_fluency, lm_fluency_buckets
+
+    common = "the cat sat on the mat " * 10          # dominant bigrams
+    docs = spark.createDataFrame(
+        [
+            (1, "en", common.strip()),
+            (2, "en", common.strip()),
+            (3, "en", "zeta omega kappa lambda iota theta"),  # one-off chain
+            (4, "en", "solo"),                                 # unscoreable
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_fluency(docs).collect()}
+    assert 4 not in rows
+    assert rows[1]["score_ppm"] == rows[2]["score_ppm"]  # identical text
+    assert rows[1]["score_ppm"] > rows[3]["score_ppm"]
+
+    b = {r["doc_id"]: r for r in lm_fluency_buckets(docs).collect()}
+    assert b[1]["bucket_name"] == "head"
+    assert b[3]["bucket_name"] == "tail"
+
+
+def test_lm_fluency_exactness(spark):
+    """score_ppm is the exact floor-mean of per-position ppm floors —
+    recomputed by hand on a 3-doc corpus."""
+    from fundamental_spark.operators.pipeline import lm_fluency
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b a b"), (2, "en", "a b c")],
+        "doc_id bigint, lang string, text string",
+    )
+    # unigrams: a=3, b=3, c=1 -> V=3.  bigrams: 'a b'=3, 'b a'=1, 'b c'=1
+    # Laplace q = floor(1e6 * (c_bg+1) / (c_uni+V)):
+    # doc1 positions: ab, ba, ab -> q = [1e6*4/6, 1e6*2/6, 1e6*4/6]
+    #   = [666666, 333333, 666666]; 1666665 div 3 = 555555
+    # doc2: ab, bc -> [666666, 1e6*2/6=333333]; 999999 div 2 = 499999
+    rows = {r["doc_id"]: r["score_ppm"] for r in lm_fluency(docs).collect()}
+    assert rows == {1: 555555, 2: 499999}
