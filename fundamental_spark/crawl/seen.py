@@ -25,12 +25,16 @@ def filter_new_urls(
     seen_count_hint: int | None = None,
     fpp: float = 0.01,
     broadcast_seen: bool = False,
+    backend: str = "bloom",
 ) -> DataFrame:
     """Return candidate rows whose url is NOT in url_seen.
 
     candidates must carry (url, url_hash, domain_shard); url_seen the
     same. ``broadcast_seen`` forces a broadcast anti-join (small seen
     sets — the reference's whole world fits in one executor's memory).
+    ``backend`` selects the prefilter: "bloom" (default, most compact)
+    or "cuckoo" (deletable — see crawl/cuckoo.py; same two-stage
+    exactness either way).
     """
     if not use_bloom:
         seen_keys = url_seen.select("url")
@@ -42,8 +46,16 @@ def filter_new_urls(
 
     n_hint = seen_count_hint if seen_count_hint is not None else url_seen.count()
     per_shard = max(1024, n_hint // DEFAULT_N_SHARDS)
-    bloom = build_bloom(url_seen, n_keys_per_shard=per_shard, fpp=fpp)
-    probed = probe_bloom(candidates, bloom)
+    if backend == "cuckoo":
+        from .cuckoo import build_cuckoo, probe_cuckoo
+
+        filt = build_cuckoo(url_seen, n_keys_per_shard=per_shard)
+        probed = probe_cuckoo(candidates, filt)
+    elif backend == "bloom":
+        bloom = build_bloom(url_seen, n_keys_per_shard=per_shard, fpp=fpp)
+        probed = probe_bloom(candidates, bloom)
+    else:
+        raise ValueError(f"unknown seen-filter backend {backend!r}")
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(url_seen.select("url"), "url", "left_anti")

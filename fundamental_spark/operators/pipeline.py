@@ -595,3 +595,99 @@ def lm_fluency_buckets(
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w)).withColumn(
         "bucket_name", named
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights (hashed n-gram bag-of-words)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    n-gram bag-of-words features, per-bucket log probability ratio
+    between a TARGET distribution (``target_filter``, a boolean Column
+    — e.g. one trusted source) and the RAW corpus, summed over each
+    doc's feature counts. High weight = looks like the target; the
+    downstream selection step resamples the raw corpus by weight.
+
+    Determinism/oracle design: features are unigrams + bigrams hashed
+    with the cross-engine 60-bit md5 into ``n_buckets``; bucket
+    log-ratios are Laplace-smoothed and FLOORED TO INTEGER MICRO-NATS
+    (floor(1e6 * ln(p/q) + 0.5) — floor-plus-half in both engines;
+    round() half-ties differ between Python/banker's and SQL/half-away)
+    so the per-doc weight Σ count[b]·r_micro[b] is pure integer
+    arithmetic — shuffle order cannot perturb it. The only cross-engine
+    float is ln() itself on identical rationals (correctly-rounded to
+    ~1 ulp in both; a flip would need the true value within 1e-16 of
+    the 5e-7 grid — negligible and caught by the oracle if ever hit).
+
+    Plan: one codegen gram pass, two map-side-combinable bucket-count
+    aggs; the O(n_buckets) ratio table is collected to the driver
+    (bounded, like IVF centroids), re-emitted as a broadcast literal
+    table, and joined back to per-doc bucket counts — the raw corpus
+    itself is touched twice and never collected.
+
+    Returns (doc_id, source, n_feats, logw_micro)."""
+    import math
+
+    from .dedup import spread
+
+    base = spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.col("source"),
+        F.col(text_col).alias("t"),
+        target_filter.alias("is_target"),
+    )
+    feats = base.select(
+        "doc",
+        "source",
+        "is_target",
+        F.explode(
+            F.concat(
+                F.split(F.trim("t"), r"\s+"),
+                word_kgrams(F.col("t"), 2),
+            )
+        ).alias("g"),
+    ).select(
+        "doc",
+        "source",
+        "is_target",
+        F.pmod(_md5_hash60(F.col("g")), F.lit(n_buckets)).cast("int").alias("b"),
+    )
+    counts = (
+        feats.groupBy("b")
+        .agg(
+            F.count("*").alias("c_raw"),
+            F.sum(F.col("is_target").cast("bigint")).alias("c_tgt"),
+        )
+        .collect()
+    )
+    c_raw = {r["b"]: r["c_raw"] for r in counts}
+    c_tgt = {r["b"]: r["c_tgt"] for r in counts}
+    n_raw = sum(c_raw.values())
+    n_tgt = sum(c_tgt.values())
+    ratio_rows = []
+    for b in range(n_buckets):
+        p = (c_tgt.get(b, 0) + 1.0) / (n_tgt + n_buckets)
+        qq = (c_raw.get(b, 0) + 1.0) / (n_raw + n_buckets)
+        ratio_rows.append((b, math.floor(1e6 * math.log(p / qq) + 0.5)))
+    ratios = base.sparkSession.createDataFrame(ratio_rows, "b int, r_micro bigint")
+    per_bucket = feats.groupBy("doc", "source", "b").agg(F.count("*").alias("c"))
+    return (
+        per_bucket.join(F.broadcast(ratios), "b")
+        .groupBy("doc", "source")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("r_micro")).alias("logw_micro"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "source", "n_feats", "logw_micro"
+        )
+    )

@@ -2133,3 +2133,50 @@ def lm_fluency_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no float crosses an aggregation; NTILE partitioned by lang (the
     CCNet semantics AND what keeps the sort parallel)."""
     return lm_fluency_buckets(T(spark, sf_dir, "documents"), n_buckets=3)
+
+
+@q(
+    "dsir_weights",
+    """
+    WITH arr AS (SELECT doc_id, source,
+                        string_split_regex(trim(text), '\\s+') AS a
+                 FROM documents),
+    uni_g AS (SELECT doc_id, source, unnest(a) AS g FROM arr),
+    bi_g AS (SELECT doc_id, source, a[i] || ' ' || a[i+1] AS g
+             FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+             WHERE len(a) >= 2),
+    feats AS (SELECT doc_id, source,
+                     CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 256
+                          AS INTEGER) AS b
+              FROM (SELECT * FROM uni_g UNION ALL SELECT * FROM bi_g)),
+    bc AS (SELECT b, COUNT(*) AS c_raw,
+                  SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+           FROM feats GROUP BY b),
+    tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM bc),
+    ratio AS (SELECT b,
+                     CAST(floor(1000000.0 * ln(
+                            ((c_tgt + 1.0) / (n_tgt + 256))
+                            / ((c_raw + 1.0) / (n_raw + 256))) + 0.5)
+                          AS BIGINT) AS r_micro
+              FROM bc CROSS JOIN tot),
+    pb AS (SELECT doc_id, source, b, COUNT(*) AS c
+           FROM feats GROUP BY doc_id, source, b)
+    SELECT doc_id, source,
+           CAST(SUM(c) AS BIGINT) AS n_feats,
+           CAST(SUM(c * r_micro) AS BIGINT) AS logw_micro
+    FROM pb JOIN ratio USING (b) GROUP BY doc_id, source
+    """,
+)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with source 'src0' as
+    the target distribution: hashed unigram+bigram features into 256
+    buckets, Laplace-smoothed log-ratio floored to integer micro-nats
+    (floor-plus-half in both engines) so the per-doc weight is exact
+    integer arithmetic."""
+    from .operators.pipeline import dsir_weights
+
+    return dsir_weights(
+        T(spark, sf_dir, "documents"),
+        target_filter=F.col("source") == "src0",
+        n_buckets=256,
+    )

@@ -254,3 +254,30 @@ def test_lm_fluency_exactness(spark):
     # doc2: ab, bc -> [666666, 1e6*2/6=333333]; 999999 div 2 = 499999
     rows = {r["doc_id"]: r["score_ppm"] for r in lm_fluency(docs).collect()}
     assert rows == {1: 555555, 2: 499999}
+
+
+def test_dsir_target_like_docs_weigh_more(spark):
+    """Docs sharing the target's vocabulary get a higher importance
+    weight than docs from a disjoint vocabulary; weights are exact
+    integers and identical for identical text."""
+    from fundamental_spark.operators.pipeline import dsir_weights
+
+    tgt = "alpha beta gamma delta epsilon " * 6
+    off = "one two three four five six seven " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, "wiki", tgt.strip()),
+            (2, "wiki", tgt.strip()),
+            (3, "web", tgt.strip()),   # raw doc that LOOKS like target
+            (4, "web", off.strip()),   # raw doc that doesn't
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, target_filter=F.col("source") == "wiki", n_buckets=64
+        ).collect()
+    }
+    assert rows[3]["logw_micro"] == rows[1]["logw_micro"]  # same text
+    assert rows[3]["logw_micro"] > rows[4]["logw_micro"]
