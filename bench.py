@@ -174,6 +174,9 @@ HEADLINE_QUERIES = [
     "line_dedup_stats",
     "semdedup_stats",
     "ann_pq",
+    "dup_span_stats",
+    "lm_fluency_buckets",
+    "dsir_weights",
 ]
 
 
