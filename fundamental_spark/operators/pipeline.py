@@ -691,3 +691,64 @@ def dsir_weights(
             F.col("doc").alias(id_col), "source", "n_feats", "logw_micro"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training order (scalable global-shuffle rank)
+# ---------------------------------------------------------------------------
+
+
+def training_order(
+    docs: DataFrame,
+    n_out_shards: int = 8,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document its position in a deterministic global
+    training shuffle — the "shuffle the corpus, write N shard files"
+    step at the end of every pretraining pipeline. The order is
+    by (md5-hash(id), id): uniform, reproducible on any engine, and
+    free of the source/time locality the shuffle exists to break.
+
+    A naive global ROW_NUMBER is a single-partition sort — the classic
+    scale killer. This plan computes the SAME rank with no global
+    sort: the 60-bit hash is RANGE-bucketed by its top bits (bucket =
+    h >> (60-log2(P)), so bucket order == hash order); per-bucket
+    counts are one map-side-combinable agg whose O(P) result becomes
+    prefix-sum offsets re-emitted as a broadcast table; within-bucket
+    ranks are a window PARTITIONED by bucket (parallel, ~n/P rows
+    each); global_pos = offset[bucket] + rank. Hash uniformity bounds
+    bucket skew; P scales with the cluster.
+
+    out_shard carves the order into ``n_out_shards`` contiguous
+    equal-size ranges (the shard files a writer would emit).
+    Returns (doc_id, global_pos, out_shard)."""
+    import math
+
+    from .dedup import spread
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    shift = 60 - int(math.log2(n_buckets))
+    h = _md5_hash60(F.col(id_col).cast("string"))
+    base = spread(docs).select(
+        F.col(id_col), h.alias("h"), F.shiftright(h, shift).alias("bucket")
+    )
+    counts = base.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    by_bucket = {r["bucket"]: r["c"] for r in counts}
+    n_total = sum(by_bucket.values())
+    offsets, acc = [], 0
+    for b in sorted(by_bucket):
+        offsets.append((b, acc))
+        acc += by_bucket[b]
+    off = base.sparkSession.createDataFrame(offsets, "bucket long, off long")
+    per_shard = max(1, math.ceil(n_total / n_out_shards))
+    w = Window.partitionBy("bucket").orderBy("h", id_col)
+    return (
+        base.join(F.broadcast(off), "bucket")
+        .withColumn("global_pos", F.col("off") + F.row_number().over(w) - 1)
+        .select(
+            id_col,
+            "global_pos",
+            F.expr(f"global_pos div {per_shard}").cast("int").alias("out_shard"),
+        )
+    )

@@ -2180,3 +2180,29 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_filter=F.col("source") == "src0",
         n_buckets=256,
     )
+
+
+@q(
+    "training_order",
+    """
+    WITH h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS hv
+               FROM documents),
+    n AS (SELECT COUNT(*) AS n_total FROM h),
+    ranked AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS global_pos
+               FROM h)
+    SELECT doc_id, global_pos,
+           CAST(global_pos // ((n_total + 7) // 8) AS INTEGER) AS out_shard
+    FROM ranked CROSS JOIN n
+    """,
+)
+def training_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle WITHOUT a global sort:
+    range-bucketed hash + per-bucket window ranks + broadcast prefix
+    offsets reproduce the oracle's single-partition ROW_NUMBER
+    exactly (the plan a 100 TB shard-writer needs)."""
+    from .operators.pipeline import training_order
+
+    return training_order(T(spark, sf_dir, "documents"), n_out_shards=8)

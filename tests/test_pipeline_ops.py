@@ -281,3 +281,37 @@ def test_dsir_target_like_docs_weigh_more(spark):
     }
     assert rows[3]["logw_micro"] == rows[1]["logw_micro"]  # same text
     assert rows[3]["logw_micro"] > rows[4]["logw_micro"]
+
+
+def test_training_order_matches_global_sort_and_has_no_global_window(spark):
+    """The bucket-offset plan reproduces the naive global ROW_NUMBER
+    exactly, is a permutation of 0..n-1 with contiguous equal shards,
+    and its physical plan contains no single-partition window."""
+    from fundamental_spark.operators.dedup import _md5_hash60
+    from fundamental_spark.operators.pipeline import training_order
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(987)], "doc_id bigint"
+    ).withColumn("text", F.lit("t"))
+    out = training_order(docs, n_out_shards=4, n_buckets=16)
+    rows = out.collect()
+    pos = sorted(r["global_pos"] for r in rows)
+    assert pos == list(range(987))
+    # oracle: naive global sort by (hash, id)
+    naive = (
+        docs.select("doc_id", _md5_hash60(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .collect()
+    )
+    want = {r["doc_id"]: i for i, r in enumerate(naive)}
+    assert {r["doc_id"]: r["global_pos"] for r in rows} == want
+    # shards are contiguous ranges of ceil(987/4)=247
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["out_shard"], []).append(r["global_pos"])
+    assert sorted(by_shard) == [0, 1, 2, 3]
+    assert max(by_shard[0]) == 246 and min(by_shard[1]) == 247
+    # plan: every Window sits above a hash-partitioned exchange on
+    # bucket, never a SinglePartition
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
