@@ -752,3 +752,100 @@ def training_order(
             F.expr(f"global_pos div {per_shard}").cast("int").alias("out_shard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (distributed merge learning)
+# ---------------------------------------------------------------------------
+
+_BPE_L = "\x1e"  # symbol-open sentinel (record separator)
+_BPE_R = "\x1f"  # symbol-close sentinel (unit separator)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus — distributed
+    tokenizer fitting (Sennrich et al. 2016): start from characters,
+    repeatedly merge the most frequent adjacent symbol pair. Returns
+    the learned merge table (merge_rank, lhs, rhs, pair_count) —
+    the artifact a tokenizer ships.
+
+    Distribution: the corpus collapses to the UNIQUE-WORD vocabulary
+    with frequencies first (the classic Sennrich move — pair counts
+    are word-frequency-weighted, so iterations run over |vocab|, not
+    corpus tokens). Each word's symbol sequence is one STRING with
+    every symbol wrapped in sentinel bytes (\\x1e sym \\x1f), so
+    applying a merge is a single literal ``replace()`` — left-to-right
+    and non-overlapping in both Spark and DuckDB, which IS greedy BPE
+    merge semantics, and the sentinels make mid-symbol false matches
+    impossible. Per round: one map-side-combinable pair-count agg over
+    the vocab, an argmax collect of ONE row (ties broken (count desc,
+    lhs, rhs) for engine-exact determinism), one replace pass,
+    localCheckpoint to truncate lineage. Pairs are counted with
+    overlaps (aaa -> (a,a) twice), exactly as the reference impl's
+    get_stats.
+
+    Scale note: the loop is O(n_merges) Spark jobs; a production 30k-
+    merge run batches rounds with a pair-delta cache (HF tokenizers
+    style) — this operator is the exact-spec form those optimize, and
+    the per-round plan (explode -> partial-agg -> 1-row argmax) is the
+    shape that scales. Sentinel bytes must not occur in the text (true
+    for any printable corpus; they are stripped defensively)."""
+    from .dedup import spread
+
+    enc0 = F.regexp_replace(
+        F.regexp_replace(F.col("word"), f"[{_BPE_L}{_BPE_R}]", ""),
+        "(.)",
+        _BPE_L + "$1" + _BPE_R,
+    )
+    vocab = (
+        spread(docs)
+        .select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", enc0.alias("enc"))
+        .localCheckpoint(eager=True)
+    )  # one eager materialization: the corpus-sized agg runs once
+    sep = _BPE_R + _BPE_L
+    syms = F.split(F.expr(f"substring(enc, 2, length(enc) - 2)"), sep)
+    pair_expr = F.expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), "
+        "(a, b) -> struct(a, b))"
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.select("freq", syms.alias("s"))
+            .select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+        merges.append((rank, a, b, int(c)))
+        pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+        rep = _BPE_L + a + b + _BPE_R
+        # lazy checkpoint: truncates lineage when the NEXT round's agg
+        # materializes it — eager=True here cost one extra no-op job
+        # per round (measured 30 s -> 9 s for 12 rounds at sf0.1)
+        vocab = vocab.select(
+            "word", "freq", F.expr("replace(enc, {}, {})".format(
+                _sql_str(pat), _sql_str(rep)
+            )).alias("enc"),
+        ).localCheckpoint(eager=False)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal (the only escape needed is ')."""
+    return "'" + s.replace("'", "''") + "'"

@@ -2206,3 +2206,57 @@ def training_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pipeline import training_order
 
     return training_order(T(spark, sf_dir, "documents"), n_out_shards=8)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE merge rounds as MATERIALIZED CTEs (plain CTEs are
+    inlined by DuckDB and the chained rounds recompute exponentially —
+    measured: 12 rounds inlined never finished; materialized 0.2 s)."""
+    rounds, sels, prev = [], [], "enc0"
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""
+    syms{r} AS MATERIALIZED (
+      SELECT freq, string_split(substr(enc, 2, length(enc) - 2),
+                                chr(31) || chr(30)) AS s FROM {prev}),
+    pairs{r} AS MATERIALIZED (
+      SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS c
+      FROM syms{r}, UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1, 2),
+    best{r} AS MATERIALIZED (
+      SELECT lhs, rhs, c FROM pairs{r} ORDER BY c DESC, lhs, rhs LIMIT 1),
+    enc{r} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(enc, chr(30)||b.lhs||chr(31)||chr(30)||b.rhs||chr(31),
+                     chr(30)||b.lhs||b.rhs||chr(31)) AS enc
+      FROM {prev} CROSS JOIN best{r} b)""")
+        prev = f"enc{r}"
+        sels.append(
+            f"SELECT {r} AS merge_rank, lhs, rhs, c AS pair_count FROM best{r}"
+        )
+    return (
+        """
+    WITH w AS MATERIALIZED (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents),
+    v AS MATERIALIZED (
+      SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+    enc0 AS MATERIALIZED (
+      SELECT word, freq,
+             regexp_replace(replace(replace(word, chr(30), ''), chr(31), ''),
+                            '(.)', chr(30) || '\\1' || chr(31), 'g') AS enc
+      FROM v),"""
+        + ",".join(rounds)
+        + " "
+        + " UNION ALL ".join(sels)
+    )
+
+
+@q("bpe_merges", _bpe_oracle(12))
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer fitting (Sennrich 2016): 12 merge
+    rounds over the unique-word vocabulary; sentinel-string encoding
+    makes merge application one literal replace() with identical
+    greedy left-to-right semantics in both engines."""
+    from .operators.pipeline import bpe_train
+
+    return bpe_train(T(spark, sf_dir, "documents"), n_merges=12)

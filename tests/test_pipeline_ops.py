@@ -315,3 +315,41 @@ def test_training_order_matches_global_sort_and_has_no_global_window(spark):
     # bucket, never a SinglePartition
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_bpe_train_hand_checked(spark):
+    """Classic BPE walkthrough: corpus {low×5, lower×2, newest×6,
+    widest×3} (Sennrich's example shape, no </w> marker). Top merges
+    recomputed by hand; overlapping pairs count like get_stats."""
+    from fundamental_spark.operators.pipeline import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    merges = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=4).collect()
+    ]
+    # counts: es = 6+3 = 9 (newest, widest); then est = 9; lo = 5+2 = 7
+    assert merges[0] == (1, "e", "s", 9)
+    assert merges[1] == (2, "es", "t", 9)
+    assert merges[2] == (3, "l", "o", 7)
+    assert merges[3] == (4, "lo", "w", 7)
+
+
+def test_bpe_train_sentinel_safety_and_overlap(spark):
+    """Overlapping-pair greedy semantics ('aaaa' merges to two 'aa',
+    never three) and symbols never match across word boundaries."""
+    from fundamental_spark.operators.pipeline import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ba ab")], "doc_id bigint, text string"
+    )
+    merges = {
+        r["merge_rank"]: (r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=2).collect()
+    }
+    # (a,a) appears 3× per 'aaaa' word (overlap-counted), 2 words = 6
+    assert merges[1] == ("a", "a", 6)
+    # after the merge each 'aaaa' is [aa, aa]: (aa,aa) count 2 beats
+    # any cross-boundary phantom
+    assert merges[2] == ("aa", "aa", 2)
