@@ -766,7 +766,8 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 12,
     text_col: str = "text",
-) -> DataFrame:
+    return_vocab: bool = False,
+):
     """Learn byte-pair-encoding merges from the corpus — distributed
     tokenizer fitting (Sennrich et al. 2016): start from characters,
     repeatedly merge the most frequent adjacent symbol pair. Returns
@@ -841,8 +842,52 @@ def bpe_train(
                 _sql_str(pat), _sql_str(rep)
             )).alias("enc"),
         ).localCheckpoint(eager=False)
-    return docs.sparkSession.createDataFrame(
+    merges_df = docs.sparkSession.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+    if return_vocab:
+        return merges_df, vocab
+    return merges_df
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """The inference side of BPE: apply the learned merges and report
+    per-language tokenization stats — (lang, n_words, chars,
+    bpe_tokens, tokens_per_word). Token counts come straight off the
+    trained vocabulary's final encoding (tokens in a word = sentinel
+    count = (len(enc) - len(enc without \x1e))/... one char each), so
+    encoding the corpus is a hash join of the word stream against the
+    O(|vocab|) token-count table — the document text is never
+    re-scanned symbol by symbol."""
+    from .dedup import spread
+
+    _, vocab = bpe_train(
+        docs, n_merges=n_merges, text_col=text_col, return_vocab=True
+    )
+    tok = vocab.select(
+        "word",
+        (
+            F.length("enc")
+            - F.length(F.expr(f"replace(enc, '{_BPE_L}', '')"))
+        ).cast("bigint").alias("n_tok"),
+    )
+    words = spread(docs).select(
+        "lang",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.join(tok, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("chars"),
+            F.sum("n_tok").alias("bpe_tokens"),
+            F.round(F.sum("n_tok") / F.count("*"), 4).alias("tokens_per_word"),
+        )
     )
 
 

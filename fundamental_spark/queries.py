@@ -2233,7 +2233,7 @@ def _bpe_oracle(n_merges: int) -> str:
         sels.append(
             f"SELECT {r} AS merge_rank, lhs, rhs, c AS pair_count FROM best{r}"
         )
-    return (
+    prefix = (
         """
     WITH w AS MATERIALIZED (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
@@ -2246,8 +2246,32 @@ def _bpe_oracle(n_merges: int) -> str:
                             '(.)', chr(30) || '\\1' || chr(31), 'g') AS enc
       FROM v),"""
         + ",".join(rounds)
-        + " "
-        + " UNION ALL ".join(sels)
+    )
+    return prefix + " " + " UNION ALL ".join(sels)
+
+
+def _bpe_token_stats_oracle(n_merges: int) -> str:
+    """Same unrolled merge rounds; the final select joins the fully
+    merged vocabulary's per-word token count (sentinel count) back to
+    the per-language word stream."""
+    body = _bpe_oracle(n_merges)
+    prefix = body[: body.rindex(" SELECT 1 AS merge_rank")]
+    return (
+        prefix
+        + f""",
+    wl AS MATERIALIZED (
+      SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents),
+    tok AS MATERIALIZED (
+      SELECT word,
+             CAST(length(enc) - length(replace(enc, chr(30), '')) AS BIGINT)
+               AS n_tok
+      FROM enc{n_merges})
+    SELECT lang, COUNT(*) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS chars,
+           CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+           ROUND(SUM(n_tok) * 1.0 / COUNT(*), 4) AS tokens_per_word
+    FROM wl JOIN tok USING (word) WHERE word <> '' GROUP BY lang"""
     )
 
 
@@ -2260,3 +2284,14 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pipeline import bpe_train
 
     return bpe_train(T(spark, sf_dir, "documents"), n_merges=12)
+
+
+@q("bpe_token_stats", _bpe_token_stats_oracle(12))
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference stats: per-language token counts after applying
+    the 12 learned merges — encoding is a hash join of the word stream
+    against the O(|vocab|) trained token-count table, never a per-
+    symbol re-scan of the text."""
+    from .operators.pipeline import bpe_token_stats
+
+    return bpe_token_stats(T(spark, sf_dir, "documents"), n_merges=12)

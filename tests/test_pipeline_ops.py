@@ -353,3 +353,20 @@ def test_bpe_train_sentinel_safety_and_overlap(spark):
     # after the merge each 'aaaa' is [aa, aa]: (aa,aa) count 2 beats
     # any cross-boundary phantom
     assert merges[2] == ("aa", "aa", 2)
+
+
+def test_bpe_token_stats_compression(spark):
+    """After 4 merges on the Sennrich corpus, frequent words encode in
+    fewer tokens than their char count (compression), and per-word
+    counts follow the learned merges exactly."""
+    from fundamental_spark.operators.pipeline import bpe_token_stats
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, "en", text)], "doc_id bigint, lang string, text string")
+    r = bpe_token_stats(docs, n_merges=4).collect()[0]
+    # merges: es, est, lo, low -> low=1 tok, lower=3 (low,e,r),
+    # newest=4 (n,e,w,est), widest=4 (w,i,d,est)
+    assert r["n_words"] == 16
+    assert r["bpe_tokens"] == 5 * 1 + 2 * 3 + 6 * 4 + 3 * 4
+    assert r["chars"] == 5 * 3 + 2 * 5 + 6 * 6 + 3 * 6
+    assert r["tokens_per_word"] == round((5 + 6 + 24 + 12) / 16, 4)
