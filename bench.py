@@ -177,6 +177,7 @@ HEADLINE_QUERIES = [
     "dup_span_stats",
     "lm_fluency_buckets",
     "dsir_weights",
+    "gopher_quality",
 ]
 
 

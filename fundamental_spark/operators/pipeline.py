@@ -894,3 +894,141 @@ def bpe_token_stats(
 def _sql_str(s: str) -> str:
     """SQL single-quoted literal (the only escape needed is ')."""
     return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher quality + repetition rule family
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_top_ngram_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
+    max_dup5_frac: float = 0.15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full Gopher rule family (Rae et al. 2021 §A1.1) — the
+    quality gates ``repetition_metrics`` (B2) samples from, complete:
+    word-count bounds, mean word length 3-10, symbol-to-word ratio
+    ('#' and ellipsis), >=80% words with an alphabetic char, >=2 of
+    the 8 required English stop words, top {2,3,4}-gram character
+    fractions under (0.20, 0.18, 0.16), and duplicate-5-gram
+    character fraction under 0.15.
+
+    Plan shape: the row-wise features are pure JVM expressions (the
+    word-level predicates use bounded array HOFs, the house style of
+    functions/text.py); the n-gram features are the inverted explode
+    -> (doc, gram) partial-aggregable groupBy, then ONE more partial
+    agg max(struct(count, gram_chars)) per doc — count ties resolve
+    to the longest gram, so the fraction is engine-exact without any
+    per-doc sort or window. Nothing is O(len²).
+
+    dup5_char_frac is the occurrence-counting variant (repeats beyond
+    the first contribute their full char length, overlaps permitted,
+    capped at 1.0); the position-exact union-of-spans form is
+    ``dedup.dup_spans`` — at a corpus level rather than per-doc.
+
+    Returns per-doc features + the conjunction ``keep``."""
+    from ..functions.text import tokens
+    from .dedup import spread
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    ell3 = (F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3
+    ell1 = F.length(t) - F.length(F.replace(t, F.lit("…")))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(
+        F.filter(F.transform(toks, F.lower), lambda w: w.isin(*GOPHER_STOPWORDS))
+    )
+    base = spread(docs).select(
+        F.col(id_col).alias("doc"),
+        n_words.cast("bigint").alias("n_words"),
+        nonspace.cast("bigint").alias("nonspace_chars"),
+        F.round(nonspace / F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
+        F.round(
+            (hashes + ell3 + ell1) / F.greatest(n_words, F.lit(1)), 4
+        ).alias("symbol_ratio"),
+        F.round(alpha / F.greatest(n_words, F.lit(1)), 4).alias("alpha_frac"),
+        stops.cast("bigint").alias("stop_hits"),
+    )
+
+    def top_frac(n: int, out: str) -> DataFrame:
+        grams = docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_kgrams(F.col(text_col), n)).alias("g"),
+        )
+        per = (
+            grams.groupBy("doc", "g")
+            .agg(F.count("*").alias("c"))
+            .select(
+                "doc",
+                F.struct(
+                    F.col("c"), (F.length("g") - (n - 1)).cast("bigint").alias("l")
+                ).alias("s"),
+            )
+            .groupBy("doc")
+            .agg(F.max("s").alias("top"))
+        )
+        return per.select(
+            "doc", (F.col("top.c") * F.col("top.l")).alias(out)
+        )
+
+    g5 = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_kgrams(F.col(text_col), 5)).alias("g"),
+    )
+    dup5 = (
+        g5.groupBy("doc", "g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy("doc")
+        .agg(
+            F.sum((F.col("c") - 1) * (F.length("g") - 4)).alias("dup5_chars")
+        )
+    )
+    out = (
+        base.join(top_frac(2, "t2"), "doc", "left")
+        .join(top_frac(3, "t3"), "doc", "left")
+        .join(top_frac(4, "t4"), "doc", "left")
+        .join(dup5, "doc", "left")
+    )
+    div = F.greatest(F.col("nonspace_chars"), F.lit(1))
+    t2f = F.round(F.coalesce("t2", F.lit(0)) / div, 4)
+    t3f = F.round(F.coalesce("t3", F.lit(0)) / div, 4)
+    t4f = F.round(F.coalesce("t4", F.lit(0)) / div, 4)
+    d5f = F.round(F.least(F.coalesce("dup5_chars", F.lit(0)) / div, F.lit(1.0)), 4)
+    lo2, lo3, lo4 = max_top_ngram_frac
+    return out.select(
+        F.col("doc").alias(id_col),
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_frac",
+        "stop_hits",
+        t2f.alias("top2_char_frac"),
+        t3f.alias("top3_char_frac"),
+        t4f.alias("top4_char_frac"),
+        d5f.alias("dup5_char_frac"),
+        (
+            F.col("n_words").between(min_words, max_words)
+            & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("alpha_frac") >= min_alpha_frac)
+            & (F.col("stop_hits") >= min_stop_hits)
+            & (t2f <= lo2) & (t3f <= lo3) & (t4f <= lo4)
+            & (d5f <= max_dup5_frac)
+        ).alias("keep"),
+    )

@@ -2295,3 +2295,93 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pipeline import bpe_token_stats
 
     return bpe_token_stats(T(spark, sf_dir, "documents"), n_merges=12)
+
+
+@q(
+    "gopher_quality",
+    """
+    WITH arr AS (SELECT doc_id, text,
+                        string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS nonspace_chars,
+             ROUND(length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                   / GREATEST(len(toks), 1), 4) AS mean_word_len,
+             ROUND(((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3
+                    + (length(text) - length(replace(text, '…', ''))))
+                   * 1.0 / GREATEST(len(toks), 1), 4) AS symbol_ratio,
+             ROUND(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   * 1.0 / GREATEST(len(toks), 1), 4) AS alpha_frac,
+             CAST(len(list_filter(list_transform(toks, w -> lower(w)),
+                    w -> w IN ('the','be','to','of','and','that','have','with')))
+                  AS BIGINT) AS stop_hits
+      FROM arr),
+    g2 AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS g
+           FROM (SELECT doc_id, toks AS a FROM arr),
+                UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+           WHERE len(a) >= 2),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    p2 AS (SELECT doc_id,
+                  MAX({'c': c, 'l': CAST(length(g) - 1 AS BIGINT)}) AS s
+           FROM c2 GROUP BY doc_id),
+    g3 AS (SELECT doc_id, a[i]||' '||a[i+1]||' '||a[i+2] AS g
+           FROM (SELECT doc_id, toks AS a FROM arr),
+                UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+           WHERE len(a) >= 3),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    p3 AS (SELECT doc_id,
+                  MAX({'c': c, 'l': CAST(length(g) - 2 AS BIGINT)}) AS s
+           FROM c3 GROUP BY doc_id),
+    g4 AS (SELECT doc_id, a[i]||' '||a[i+1]||' '||a[i+2]||' '||a[i+3] AS g
+           FROM (SELECT doc_id, toks AS a FROM arr),
+                UNNEST(generate_series(1, len(a) - 3)) AS t(i)
+           WHERE len(a) >= 4),
+    c4 AS (SELECT doc_id, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2),
+    p4 AS (SELECT doc_id,
+                  MAX({'c': c, 'l': CAST(length(g) - 3 AS BIGINT)}) AS s
+           FROM c4 GROUP BY doc_id),
+    g5 AS (SELECT doc_id, a[i]||' '||a[i+1]||' '||a[i+2]||' '||a[i+3]||' '||a[i+4] AS g
+           FROM (SELECT doc_id, toks AS a FROM arr),
+                UNNEST(generate_series(1, len(a) - 4)) AS t(i)
+           WHERE len(a) >= 5),
+    c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+    d5 AS (SELECT doc_id,
+                  SUM((c - 1) * (length(g) - 4)) AS dup5_chars
+           FROM c5 WHERE c >= 2 GROUP BY doc_id),
+    rolled AS (
+      SELECT f.*,
+             ROUND(COALESCE(p2.s.c * p2.s.l, 0) * 1.0
+                   / GREATEST(f.nonspace_chars, 1), 4) AS top2_char_frac,
+             ROUND(COALESCE(p3.s.c * p3.s.l, 0) * 1.0
+                   / GREATEST(f.nonspace_chars, 1), 4) AS top3_char_frac,
+             ROUND(COALESCE(p4.s.c * p4.s.l, 0) * 1.0
+                   / GREATEST(f.nonspace_chars, 1), 4) AS top4_char_frac,
+             ROUND(LEAST(COALESCE(d5.dup5_chars, 0) * 1.0
+                   / GREATEST(f.nonspace_chars, 1), 1.0), 4) AS dup5_char_frac
+      FROM feat f
+      LEFT JOIN p2 USING (doc_id) LEFT JOIN p3 USING (doc_id)
+      LEFT JOIN p4 USING (doc_id) LEFT JOIN d5 USING (doc_id))
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           stop_hits, top2_char_frac, top3_char_frac, top4_char_frac,
+           dup5_char_frac,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND alpha_frac >= 0.8
+            AND stop_hits >= 2
+            AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+            AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15) AS keep
+    FROM rolled
+    """,
+)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher rule family (Rae et al. 2021 A1.1): row-wise JVM
+    features + inverted-index n-gram fractions with partial-aggregable
+    max(struct(count, gram_chars)) per doc — no per-doc sort/window."""
+    from .operators.pipeline import gopher_quality
+
+    return gopher_quality(T(spark, sf_dir, "documents"))

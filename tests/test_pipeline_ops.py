@@ -370,3 +370,49 @@ def test_bpe_token_stats_compression(spark):
     assert r["bpe_tokens"] == 5 * 1 + 2 * 3 + 6 * 4 + 3 * 4
     assert r["chars"] == 5 * 3 + 2 * 5 + 6 * 6 + 3 * 6
     assert r["tokens_per_word"] == round((5 + 6 + 24 + 12) / 16, 4)
+
+
+def test_gopher_quality_rules(spark):
+    """Each rule triggers on its planted offender and the clean doc
+    passes everything."""
+    from fundamental_spark.operators.pipeline import gopher_quality
+
+    clean = ("the quick brown fox and the lazy dog have gone to rest "
+             "with friends of that old farm near the quiet river bend "
+             "while evening light settled over distant hills and small "
+             "birds returned home to warm nests hidden among tall reeds "
+             "as farmers walked slowly back from fields carrying worn "
+             "tools and speaking softly about tomorrow")
+    spammy = "buy now best offer " * 30 + " the of and that be"
+    symbols = ("### " * 20) + "the of and that " + "word " * 40
+    numeric = ("12345 67890 11111 " * 25) + "the of and be"
+    short = "the of and"
+    docs = spark.createDataFrame(
+        [
+            (1, clean.strip()),
+            (2, spammy.strip()),
+            (3, symbols.strip()),
+            (4, numeric.strip()),
+            (5, short),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False            # top-bigram repetition
+    assert got[2]["top2_char_frac"] > 0.2
+    assert got[3]["keep"] is False            # symbol ratio
+    assert got[3]["symbol_ratio"] > 0.1
+    assert got[4]["keep"] is False            # alpha fraction
+    assert got[4]["alpha_frac"] < 0.8
+    assert got[5]["keep"] is False            # word count
+    assert got[5]["n_words"] < 50
+    # dup5 on a doc that repeats one 5-gram verbatim twice among filler
+    block = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    d6 = spark.createDataFrame(
+        [(6, f"{block} {filler} {block}")], "doc_id bigint, text string"
+    )
+    r6 = gopher_quality(d6).collect()[0]
+    # one repeat of a 5-gram with 26 non-space chars over the doc
+    assert r6["dup5_char_frac"] > 0.0
