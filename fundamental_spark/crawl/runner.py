@@ -170,6 +170,10 @@ class CrawlRunner:
     wave_seconds: float | None = None   # None -> unlimited budget per wave
     use_bloom: bool = True
     bloom_min_seen: int = 200_000      # below this, broadcast exact anti-join wins
+    # "bloom" (most compact) or "cuckoo" (deletable — crawl/cuckoo.py);
+    # both are strictly prefilters in front of the exact anti-join, so
+    # the crawl result is backend-invariant (pinned by test)
+    seen_backend: str = "bloom"
     # fold delta snapshots into one base once this many accumulate since
     # the last compaction (Iceberg rewrite_data_files): bounds the
     # per-wave dir listing of url_seen / response_cache at O(compact_every)
@@ -535,6 +539,7 @@ class CrawlRunner:
                 use_bloom=use_bloom_now,
                 seen_count_hint=max(self.seen_count, 1),
                 broadcast_seen=not use_bloom_now,
+                backend=self.seen_backend,
             ).cache()
         mark("seen_filter_def")
 

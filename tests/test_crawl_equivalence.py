@@ -261,3 +261,17 @@ def test_resolve_href_urljoin_shapes(spark):
     df2 = spark.createDataFrame([("https://www.funda.nl", "detail/x/")], "page string, href string")
     assert df2.select(resolve_href(F.col("page"), F.col("href")).alias("o")).first()["o"] \
         == urljoin("https://www.funda.nl", "detail/x/")
+
+
+def test_cuckoo_backend_crawl_is_backend_invariant(spark, tmp_path):
+    """The cuckoo prefilter (crawl/cuckoo.py) yields the exact same
+    crawl as bloom and as the pure exact anti-join — both filters are
+    prefilters in front of the same exact join, so the URL-seen result
+    is backend-invariant by construction; this pins it."""
+    site = build_site(seed=29, cities=("delft",), listings_per_city=30, page_size=10)
+    pages = site.pages_by_city["delft"]
+    existing = set(pages[0][1][:5])
+    sim = simulate_crawl(site, "active", existing_urls=existing)
+    r = _run(spark, tmp_path / "c", site, "active", existing=existing,
+             use_bloom=True, bloom_min_seen=0, seen_backend="cuckoo")
+    _assert_equivalent(r, sim)
