@@ -803,3 +803,46 @@ def dup_span_stats(
             4,
         ).alias("dup_frac"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware cluster representative selection — the refinement
+    of keep-min-id every production dedup ends with: within each
+    near-dup cluster keep the HIGHEST-quality document (quality_score;
+    ties break to the lowest id). Collapsing boilerplate families to
+    their best member instead of an arbitrary one is the difference
+    between dedup that preserves corpus quality and dedup that
+    randomly downgrades it.
+
+    Plan: cluster assignment (iterative min-label propagation) joined
+    with the row-wise quality score, then ONE partial-aggregable
+    max(struct(q, -id)) per cluster and a join-back — no per-cluster
+    sort or window. Returns (doc_id, cluster_id, cluster_size, q,
+    keep_best)."""
+    from ..functions.text import quality_score
+
+    clusters = dedup_cluster_assignment(
+        docs, threshold=threshold, n=n, id_col=id_col, text_col=text_col
+    )
+    scored = clusters.drop("keep").join(
+        docs.select(F.col(id_col), quality_score(F.col(text_col)).alias("q")),
+        id_col,
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("q"), (-F.col(id_col)).alias("nid"))).alias("b")
+    )
+    return scored.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        "q",
+        (
+            (F.col("q") == F.col("b.q")) & (F.col(id_col) == -F.col("b.nid"))
+        ).alias("keep_best"),
+    )

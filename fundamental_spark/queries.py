@@ -2385,3 +2385,53 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pipeline import gopher_quality
 
     return gopher_quality(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_keep_best",
+    _CLUSTER_CTE
+    + f""",
+    jpairs AS (SELECT doc_a, doc_b
+               FROM pairs
+               JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+               WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    reach AS (SELECT doc_id AS v, doc_id AS lab FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v),
+    comp AS (SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v),
+    qs AS (SELECT doc_id,
+                  ROUND(0.4 * LEAST(
+                          len(string_split_regex(trim(text), '\\s+')) / 100.0,
+                          1.0)
+                        + 0.3 * (1.0 -
+                          length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                          * 1.0 / GREATEST(length(text), 1))
+                        + 0.3 *
+                          len(list_filter(
+                                string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x IN ({_Q_STOP}))) * 1.0
+                          / GREATEST(
+                              len(string_split_regex(trim(text), '\\s+')), 1),
+                        4) AS q
+           FROM documents),
+    scored AS (SELECT c.doc_id, c.cluster_id,
+                      COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                      q
+               FROM comp c JOIN qs USING (doc_id)),
+    best AS (SELECT cluster_id, MAX({{'q': q, 'nid': -doc_id}}) AS b
+             FROM scored GROUP BY cluster_id)
+    SELECT s.doc_id, s.cluster_id, s.cluster_size, s.q,
+           (s.q = b.b.q AND s.doc_id = -b.b.nid) AS keep_best
+    FROM scored s JOIN best b USING (cluster_id)
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative: highest quality_score per
+    near-dup cluster (ties -> lowest id) via one partial-aggregable
+    max(struct(q, -id)) — no per-cluster sort."""
+    from .operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(T(spark, sf_dir, "documents"), threshold=0.1)

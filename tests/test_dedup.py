@@ -352,3 +352,26 @@ def test_dup_spans_internal_repeat_merges(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["pos"] == 0 and r["span_len"] == 20
+
+
+def test_dedup_keep_best_prefers_quality(spark):
+    """Within a planted near-dup cluster the highest-quality member is
+    kept (not the min id); singletons keep themselves."""
+    from fundamental_spark.operators.dedup import dedup_keep_best
+
+    base = _doc(random.Random(31), 110)  # len term saturates at 100
+    # doc 2 = doc 1 plus punctuation spam -> lower quality_score
+    docs = spark.createDataFrame(
+        [
+            (1, base + " ..... ;;;; !!!! ???? ::: ,,,,, ..... ;;;;"),
+            (2, base),
+            (3, _doc(random.Random(37), 60)),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_keep_best(docs, threshold=0.3).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[2]["cluster_id"] == 1
+    assert rows[1]["cluster_size"] == 2
+    assert rows[2]["keep_best"] is True      # cleaner text wins
+    assert rows[1]["keep_best"] is False     # min id does NOT win
+    assert rows[3]["keep_best"] is True
