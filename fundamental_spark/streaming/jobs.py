@@ -366,3 +366,50 @@ def stream_event_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup (T11): keep the first-arriving document
+    per content fingerprint, state carried across micro-batches by the
+    built-in stateful ``dropDuplicates`` — the streaming twin of
+    ``operators.dedup.exact_dedup`` (keep-first instead of keep-min-id;
+    under an id-ordered drain the two agree, pinned by
+    tests/test_stateful_streaming.py). Spark-first: no custom state
+    handler needed — exact-dedup-on-a-stream is precisely what the
+    built-in operator's state store implements; a 24/7 deployment
+    bounds state with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` (documented trade: re-admits a
+    dup after the horizon)."""
+    from ..functions.text import fingerprint
+
+    return docs.withColumn("fp", fingerprint(F.col("text"))).dropDuplicates(["fp"])
+
+
+def drain_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Bounded drain of a documents directory through the streaming
+    dedup (availableNow, one file per micro-batch so the dedup state
+    genuinely carries across batches)."""
+    ds = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        dedup_stream(ds)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

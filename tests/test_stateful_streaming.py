@@ -56,3 +56,41 @@ def test_streamed_sessions_match_batch(spark, tmp_path):
     want = {tuple(r[k] for k in key) for r in closed_expected.collect()}
     assert got == want
     assert len(got) > 0  # the gap rule actually closed sessions mid-stream
+
+
+def test_streamed_dedup_matches_batch_keep_first(spark, tmp_path):
+    """Streaming exact dedup (built-in stateful dropDuplicates) over an
+    id-ordered multi-file drain keeps exactly the batch keep-min-id
+    representative set — including dups planted ACROSS micro-batches."""
+    import time as _time
+
+    from fundamental_spark.operators.dedup import exact_dedup
+    from fundamental_spark.streaming.jobs import drain_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant a cross-batch dup: copy doc 0's text onto a high id
+    first_text = docs.orderBy("doc_id").first()["text"]
+    extra = spark.createDataFrame(
+        [(99990, first_text, "en", "srcX", len(first_text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    all_docs = docs.unionByName(extra)
+    src = str(tmp_path / "docs_src")
+    n = docs.count()
+    bounds = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, 10 ** 9)]
+    for i, (lo, hi) in enumerate(bounds):
+        (all_docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)  # file source orders by mtime
+    out = str(tmp_path / "out")
+    drain_dedup(spark, src, str(tmp_path / "ckpt"), out)
+    out_rows = spark.read.parquet(out).collect()
+    kept_ids = {r["doc_id"] for r in out_rows}
+    kept_fps = {r["fp"] for r in out_rows}
+    groups = exact_dedup(all_docs).collect()
+    # exactly one survivor per distinct fingerprint, covering all of them
+    assert len(out_rows) == len(groups)
+    assert kept_fps == {r["fp"] for r in groups}
+    # the planted CROSS-batch dup is dropped via carried state — this
+    # part is deterministic regardless of within-batch first-row picks
+    assert 99990 not in kept_ids
