@@ -31,7 +31,10 @@ DEDUP_QUERIES = ["dedup_exact", "dedup_winnow", "dedup_minhash_lsh",
                  "dedup_ngram_jaccard",
                  # assembly tier (round 4): 10x growth evidence
                  "gopher_repetition", "benchmark_contamination",
-                 "packing_stats", "train_split_stats", "pii_stats"]
+                 "packing_stats", "train_split_stats", "pii_stats",
+                 # round-5 corpus ops: 10x growth evidence
+                 "dup_span_stats", "gopher_quality", "lm_fluency_buckets",
+                 "dsir_weights", "training_order"]
 
 
 def build_big_documents(spark, src_dir: str) -> str:
