@@ -985,3 +985,63 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Embedding-space outlier detection: the ``k`` vectors FARTHEST
+    from their group centroid, per group — the prune-by-centroid-
+    distance step of semantic curation (the complement of SemDeDup's
+    keep-nearest: far-from-centroid points are the mislabeled/garbage
+    candidates a curation pass reviews).
+
+    Centroids are per-component means rounded to 9 dp (the kmeans
+    cross-engine trick: the grid is far coarser than FP summation-
+    order noise, so an independent engine lands on identical
+    centroids); each vector scores cosine-to-centroid with the JVM
+    fold, ranks within its group (cos asc, id asc — the ann-family
+    tie rule), and the bottom ``k`` flag as outliers. The centroid
+    table is O(#groups × dim) and broadcast; at corpus scale the
+    scoring pass is the mapInPandas GEMM shape (gemm_topk) — this
+    exact form is its oracle.
+
+    Returns (vec_id, label, cos, outlier_rank, is_outlier)."""
+    base = spread(emb)
+    comps = (
+        base.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(_to_double(F.col(vec_col))).alias("pos", "x"),
+        )
+        .groupBy("g", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("m"))
+    )
+    cent = comps.groupBy("g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    scored = base.join(
+        F.broadcast(cent), base[group_col] == cent["g"]
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        cosine(F.col(vec_col), F.col("c")).alias("cos_raw"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(group_col).orderBy(F.asc("cos_raw"), F.asc(id_col))
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w))
+        .select(
+            id_col,
+            group_col,
+            F.round("cos_raw", 4).alias("cos"),
+            "outlier_rank",
+            (F.col("outlier_rank") <= k).alias("is_outlier"),
+        )
+    )

@@ -2435,3 +2435,38 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_keep_best
 
     return dedup_keep_best(T(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@q(
+    "embedding_outliers",
+    """
+    WITH comp AS (
+      SELECT label, i AS pos, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 9) AS m
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY pos) AS c FROM comp GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)), cent.c)
+               AS cos_raw
+      FROM embeddings e JOIN cent USING (label)),
+    ranked AS (
+      SELECT vec_id, label, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cos_raw ASC, vec_id) AS outlier_rank
+      FROM scored)
+    SELECT vec_id, label, ROUND(cos_raw, 4) AS cos, outlier_rank,
+           TRUE AS is_outlier
+    FROM ranked WHERE outlier_rank <= 5
+    """,
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outliers (semantic-curation prune
+    candidates): 9-dp-rounded centroids (the kmeans cross-engine
+    grid), ann-family tie rule, bottom-5 per label."""
+    from .operators.similarity import embedding_outliers
+
+    return embedding_outliers(T(spark, sf_dir, "embeddings"), k=5).filter(
+        F.col("is_outlier")
+    )

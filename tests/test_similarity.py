@@ -347,3 +347,28 @@ def test_pq_rerank_bounds_exact_work(vectors, spark):
         for r in pq_topk(emb, q, k=5, m=4, ksub=8, rerank=n).collect()
     )
     assert pq_full == bf
+
+
+def test_embedding_outliers_planted(spark):
+    """A vector pointing away from its group's direction ranks as the
+    group's #1 outlier; tight members don't flag at small k."""
+    import random as _r
+
+    from fundamental_spark.operators.similarity import embedding_outliers
+
+    rng = _r.Random(41)
+    rows = []
+    for i in range(20):  # label 0: clustered around +e1 with noise
+        v = [1.0] + [rng.uniform(-0.1, 0.1) for _ in range(63)]
+        rows.append((i, v, 0))
+    rows.append((99, [-1.0] + [0.0] * 63, 0))      # planted anti-vector
+    for i in range(100, 110):  # label 1: around +e2
+        v = [0.0, 1.0] + [rng.uniform(-0.1, 0.1) for _ in range(62)]
+        rows.append((i, v, 1))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = embedding_outliers(emb, k=1)
+    top = {r["label"]: r["vec_id"] for r in out.collect() if r["is_outlier"]}
+    assert top[0] == 99
+    ranks = {r["vec_id"]: r["outlier_rank"] for r in out.collect()}
+    assert ranks[99] == 1
+    assert out.filter(F.col("is_outlier")).count() == 2  # one per label
