@@ -2470,3 +2470,77 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(T(spark, sf_dir, "embeddings"), k=5).filter(
         F.col("is_outlier")
     )
+
+
+@q(
+    "corpus_datacard",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             {_FP_SQL} AS fp,
+             ROUND(0.4 * LEAST(
+                     len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+                   + 0.3 * (1.0 -
+                     length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                     * 1.0 / GREATEST(length(text), 1))
+                   + 0.3 *
+                     len(list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x IN ({_Q_STOP}))) * 1.0
+                     / GREATEST(
+                         len(string_split_regex(trim(text), '\\s+')), 1),
+                   4) AS q,
+             (regexp_matches(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+              OR regexp_matches(text, '\\+?[0-9][0-9 -]{{8,}}[0-9]'))
+               AS has_pii
+      FROM documents),
+    fpc AS (SELECT fp, COUNT(*) AS c FROM per GROUP BY fp)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(CASE WHEN fpc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           ROUND(AVG(q), 4) AS mean_quality,
+           CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+             AS pii_docs
+    FROM per JOIN fpc USING (fp)
+    GROUP BY source
+    """,
+)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card — the release-audit rollup every
+    published corpus ships: volume, language spread, exact-dup rate,
+    mean quality, PII incidence. Pure composition of the registered
+    primitives (fingerprint, quality_score, PII regexes); one
+    map-side-combinable agg per stage."""
+    from .operators.pipeline import EMAIL_RE, PHONE_RE
+
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count(t).alias("n_tokens"),
+        fingerprint(t).alias("fp"),
+        quality_score(t).alias("q"),
+        (
+            t.rlike(EMAIL_RE) | t.rlike(PHONE_RE)
+        ).alias("has_pii"),
+    )
+    fpc = per.groupBy("fp").agg(F.count("*").alias("c"))
+    return (
+        per.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum((F.col("c") >= 2).cast("bigint")).alias("dup_docs"),
+            F.round(F.avg("q"), 4).alias("mean_quality"),
+            F.sum(F.col("has_pii").cast("bigint")).alias("pii_docs"),
+        )
+    )
