@@ -244,3 +244,43 @@ def metro_city_expansion(props: DataFrame, cities: DataFrame, area_id: int) -> D
     return props.join(
         F.broadcast(member), F.lower(F.col("city")) == F.col("_mc"), "left_semi"
     )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Shuffle-key skew audit — the measurement that decides whether a
+    join/agg key needs salting BEFORE the job ships (the crawl's own
+    domain-shard salting, SURVEY T7, was justified by exactly this
+    table). One map-side-combinable count per key, then a single
+    partial-agg rollup: total rows, distinct keys, max/mean ratio
+    (the skew headline: 1.0 = flat), and the top-k heaviest keys with
+    their corpus share.
+
+    Returns one row: (n_rows, n_keys, max_count, mean_count,
+    skew_ratio, top_keys — 'key:count' strings sorted heaviest
+    first)."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    top = (
+        counts.orderBy(F.desc("c"), F.asc("k"))
+        .limit(top_k)
+        .select(F.concat_ws(":", "k", "c").alias("kc"), "c", "k")
+    )
+    top_arr = top.agg(
+        F.array_sort(F.collect_list(F.struct((-F.col("c")).alias("nc"), "k", "kc")))
+        .alias("s")
+    ).select(
+        F.array_join(F.transform("s", lambda x: x["kc"]), ",").alias("top_keys")
+    )
+    agg = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_count"),
+        F.round(F.sum("c") / F.count("*"), 2).alias("mean_count"),
+        F.round(F.max("c") / (F.sum("c") / F.count("*")), 4).alias("skew_ratio"),
+    )
+    return agg.crossJoin(F.broadcast(top_arr))

@@ -2544,3 +2544,29 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("has_pii").cast("bigint")).alias("pii_docs"),
         )
     )
+
+
+@q(
+    "key_skew_stats",
+    """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+               FROM events GROUP BY 1),
+    top AS (SELECT k || ':' || CAST(c AS VARCHAR) AS kc, c, k
+            FROM c ORDER BY c DESC, k LIMIT 5),
+    ta AS (SELECT string_agg(kc, ',' ORDER BY c DESC, k) AS top_keys FROM top),
+    agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_count,
+                   ROUND(SUM(c) * 1.0 / COUNT(*), 2) AS mean_count,
+                   ROUND(MAX(c) / (SUM(c) * 1.0 / COUNT(*)), 4) AS skew_ratio
+            FROM c)
+    SELECT agg.*, ta.top_keys FROM agg CROSS JOIN ta
+    """,
+)
+def key_skew_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit over events.user_id: max/mean ratio +
+    top-5 heaviest keys — the measurement that justifies (or spares)
+    a salting pass before a join ships."""
+    from .operators.analysis import key_skew_stats
+
+    return key_skew_stats(T(spark, sf_dir, "events"), "user_id", top_k=5)

@@ -416,3 +416,44 @@ def test_gopher_quality_rules(spark):
     r6 = gopher_quality(d6).collect()[0]
     # one repeat of a 5-gram with 26 non-space chars over the doc
     assert r6["dup5_char_frac"] > 0.0
+
+
+def test_integer_exact_ops_are_partition_invariant(spark):
+    """The integer-exact scoring designs (lm_fluency, dsir_weights,
+    dup_span_stats) must be BIT-identical under arbitrary input
+    partitioning — the whole point of flooring to integers before any
+    aggregation crosses a shuffle."""
+    import random as _r
+
+    from fundamental_spark.operators.dedup import dup_span_stats
+    from fundamental_spark.operators.pipeline import dsir_weights, lm_fluency
+
+    rng = _r.Random(53)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, "en" if i % 3 else "de", f"src{i % 4}",
+         " ".join(vocab[rng.randrange(40)] for _ in range(80)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    shuffled = docs.repartition(17)
+
+    a = sorted(tuple(r) for r in lm_fluency(docs).collect())
+    b = sorted(tuple(r) for r in lm_fluency(shuffled).collect())
+    assert a == b
+
+    tf = F.col("source") == "src0"
+    a = sorted(tuple(r) for r in dsir_weights(docs, tf, n_buckets=64).collect())
+    b = sorted(tuple(r) for r in dsir_weights(shuffled, tf, n_buckets=64).collect())
+    assert a == b
+
+    a = sorted(tuple(r) for r in dup_span_stats(docs).collect())
+    b = sorted(tuple(r) for r in dup_span_stats(shuffled).collect())
+    assert a == b
+    # invariants: spans never exceed the doc
+    for _, n_tokens, n_spans, dup_tokens, dup_frac in a:
+        assert 0 <= dup_tokens <= n_tokens
+        assert (n_spans == 0) == (dup_tokens == 0)
+        assert 0.0 <= dup_frac <= 1.0
