@@ -846,3 +846,121 @@ def dedup_keep_best(
             (F.col("q") == F.col("b.q")) & (F.col(id_col) == -F.col("b.nid"))
         ).alias("keep_best"),
     )
+
+
+def minhash_incremental_pairs(
+    docs: DataFrame,
+    new_filter,
+    threshold: float = 0.1,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    allow_low_recall: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta dedup — near-dup pairs TOUCHING the new ingest slice only
+    (``new_filter``, a boolean Column over ``docs``): the shape a
+    daily-increment pipeline runs, where re-deduping the whole corpus
+    per ingest would be O(corpus) every day for an O(delta) question.
+
+    The band PROBE side carries only new docs, joined against the full
+    band index — at a 10^10-doc corpus with a 10^7-doc daily delta the
+    collision join's probe side shrinks 1000×, and the verify stage's
+    shingle arrays are built ONLY for documents that appear in a
+    candidate pair (explicit semi-join before the collect_list agg —
+    the full-corpus form pays that agg for every doc). In production
+    the index side is the STORED signature/band table maintained by
+    the previous run; here it derives in-plan from the same docs so
+    the operator is self-contained and its output is provably the
+    full-corpus pair set restricted to pairs touching the delta
+    (pinned by test and by the DuckDB oracle's touch-new predicate).
+
+    Same verified-Jaccard semantics and config guards as
+    ``minhash_lsh_pairs``."""
+    if not allow_low_recall:
+        cap = minhash_capture_prob(threshold, k, bands)
+        if cap < 0.9:
+            raise ValueError(
+                f"MinHash config k={k} bands={bands} captures only "
+                f"{cap:.2f} of pairs at jaccard {threshold}; pass "
+                f"allow_low_recall=True to run it anyway"
+            )
+    assert k % bands == 0
+    r = k // bands
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    flags = docs.select(F.col(id_col).alias("doc"), new_filter.alias("is_new"))
+    sigs = (
+        minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+        .join(flags, "doc")
+        .repartition(par)  # AQE-collapse guard before the expanding join
+    )
+    band_cols = [
+        F.concat_ws("-", *[F.col(f"mh{band * r + j}") for j in range(r)]).alias(
+            f"band{band}"
+        )
+        for band in range(bands)
+    ]
+    stacked = sigs.select("doc", "is_new", *band_cols).select(
+        "doc",
+        "is_new",
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    probe = stacked.filter(F.col("is_new")).select("doc", "band_idx", "band_hash")
+    x = probe.alias("x")
+    y = stacked.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc") != F.col("y.doc")),
+        )
+        .select(
+            F.least(F.col("x.doc"), F.col("y.doc")).alias("doc_a"),
+            F.greatest(F.col("x.doc"), F.col("y.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    involved = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    docs_inv = docs.join(
+        involved.withColumnRenamed("doc", id_col), id_col, "left_semi"
+    )
+    hsz = (
+        spread(docs_inv)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .select("doc", _md5_hash60(F.col("sh")).alias("h"))
+        .groupBy("doc")
+        .agg(F.collect_list("h").alias("hs"), F.count("*").alias("n_sh"))
+    )
+    a_sh = hsz.select(
+        F.col("doc").alias("doc_a"), F.col("hs").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b_sh = hsz.select(
+        F.col("doc").alias("doc_b"), F.col("hs").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    scored = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            "na",
+            "nb",
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        scored.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

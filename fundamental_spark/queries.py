@@ -2570,3 +2570,49 @@ def key_skew_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analysis import key_skew_stats
 
     return key_skew_stats(T(spark, sf_dir, "events"), "user_id", top_k=5)
+
+
+@q(
+    "dedup_minhash_incremental",
+    _SHINGLE_CTE
+    + f""",
+    hs AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                    % 2147483648 AS h
+           FROM sh),
+    sig AS (SELECT doc_id,
+{_MH_MINS}
+            FROM hs GROUP BY 1),
+    bands AS ({_MH_BANDS}),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.sig = b.sig
+               AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0),
+    cinter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+               FROM cands c
+               JOIN sh x ON x.doc_id = c.doc_a
+               JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM cinter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.1
+    """,
+)
+def dedup_minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup at the registered (64,16) operating point: pairs
+    touching the 'new ingest' slice (doc_id % 10 == 0) — the band
+    probe carries only new docs against the full index, and the
+    verify-stage shingle arrays build only for candidate-involved
+    docs. Oracle = the full-corpus banding SQL with a touch-new
+    predicate (identical pair set by construction)."""
+    from .operators.dedup import minhash_incremental_pairs
+
+    return minhash_incremental_pairs(
+        T(spark, sf_dir, "documents"),
+        new_filter=F.col("doc_id") % 10 == 0,
+        threshold=0.1, k=64, bands=16, allow_low_recall=True,
+    )

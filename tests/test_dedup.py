@@ -375,3 +375,27 @@ def test_dedup_keep_best_prefers_quality(spark):
     assert rows[2]["keep_best"] is True      # cleaner text wins
     assert rows[1]["keep_best"] is False     # min id does NOT win
     assert rows[3]["keep_best"] is True
+
+
+def test_minhash_incremental_equals_full_restricted(planted):
+    """The delta operator's pair set == the full-corpus pair set
+    restricted to pairs touching the 'new' slice (both at the same
+    registered operating point)."""
+    from fundamental_spark.operators.dedup import minhash_incremental_pairs
+
+    new = F.col("doc_id").isin("near_a", "caps_a", "d001")
+    inc = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_incremental_pairs(
+            planted, new, threshold=0.1, k=64, bands=16, allow_low_recall=True
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            planted, threshold=0.1, k=64, bands=16, allow_low_recall=True
+        ).collect()
+    }
+    touch = {"near_a", "caps_a", "d001"}
+    want = {(a, b, j) for (a, b, j) in full if a in touch or b in touch}
+    assert inc == want and inc  # non-empty: near_a pairs with dup_a/dup_b
