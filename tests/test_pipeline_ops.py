@@ -457,3 +457,36 @@ def test_integer_exact_ops_are_partition_invariant(spark):
         assert 0 <= dup_tokens <= n_tokens
         assert (n_spans == 0) == (dup_tokens == 0)
         assert 0.0 <= dup_frac <= 1.0
+
+
+def test_new_ops_survive_empty_corpus(spark):
+    """Production guard: every round-5 corpus op returns an empty (or
+    well-formed degenerate) result on an empty documents table instead
+    of crashing — the first thing a scheduled pipeline hits on a
+    no-new-data day."""
+    from fundamental_spark.operators.dedup import (
+        dedup_keep_best,
+        dup_span_stats,
+        minhash_incremental_pairs,
+    )
+    from fundamental_spark.operators.pipeline import (
+        bpe_train,
+        dsir_weights,
+        gopher_quality,
+        lm_fluency_buckets,
+        training_order,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, lang string, source string, text string"
+    )
+    assert dup_span_stats(empty).count() == 0
+    assert lm_fluency_buckets(empty).count() == 0
+    assert dsir_weights(empty, F.col("source") == "x").count() == 0
+    assert gopher_quality(empty).count() == 0
+    assert training_order(empty).count() == 0
+    assert bpe_train(empty, n_merges=3).count() == 0
+    assert dedup_keep_best(empty).count() == 0
+    assert minhash_incremental_pairs(
+        empty, F.col("doc_id") % 10 == 0, allow_low_recall=True
+    ).count() == 0
