@@ -964,3 +964,61 @@ def minhash_incremental_pairs(
         scored.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_len: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The TRANSFORM side of exact-substring dedup (Lee et al. 2022
+    actually deletes the duplicated substrings; ``dup_span_stats`` is
+    the audit): rebuild each document with every token inside a
+    qualifying duplicated span removed, order preserved.
+
+    Plan: token positions (posexplode) anti-join the exploded span
+    coverage (sequence(pos, pos+len-1) per span — O(dup tokens), never
+    O(doc²)); the surviving tokens fold back to text with ONE
+    partial-aggregable groupBy(doc) over array_sort(struct(pos, tok))
+    — no per-doc window, order restored by the sort inside the agg
+    buffer. Docs shorter than k tokens pass through unchanged.
+
+    Returns (doc_id, n_tokens_before, n_tokens_after, cleaned_md5) —
+    the md5 keeps the oracle row compact while still pinning the
+    exact reconstructed text."""
+    from ..functions.text import token_count, tokens
+
+    spans = dup_spans(docs, k=k, min_len=min_len, id_col=id_col, text_col=text_col)
+    covered = spans.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("span_len") - 1)
+        ).alias("pos"),
+    )
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.count("*").alias("n_after"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens_before"),
+    )
+    return base.join(rebuilt, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_tokens_before",
+        F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_tokens_after"),
+        F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+    )

@@ -2616,3 +2616,58 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_filter=F.col("doc_id") % 10 == 0,
         threshold=0.1, k=64, bands=16, allow_low_recall=True,
     )
+
+
+@q(
+    "dup_span_removal",
+    """
+    WITH arr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+                 FROM documents),
+    pg AS (SELECT doc_id, i - 1 AS pos,
+                  CAST(('0x' || substr(md5(
+                    a[i]||' '||a[i+1]||' '||a[i+2]||' '||a[i+3]||' '||
+                    a[i+4]||' '||a[i+5]||' '||a[i+6]||' '||a[i+7]), 1, 15))
+                    AS BIGINT) AS gh
+           FROM arr, UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+           WHERE len(a) >= 8),
+    dup AS (SELECT gh FROM pg GROUP BY gh HAVING COUNT(*) >= 2),
+    dp AS (SELECT p.doc_id, p.pos FROM pg p JOIN dup USING (gh)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) <= 8
+                        THEN 0 ELSE 1 END AS brk
+            FROM dp),
+    isl2 AS (SELECT doc_id, pos,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, MIN(pos) AS p0, MAX(pos) AS p1
+              FROM isl2 GROUP BY doc_id, island),
+    cov AS (SELECT doc_id, unnest(generate_series(p0, p1 + 7)) AS pos
+            FROM spans WHERE p1 - p0 + 8 >= 12),
+    toks AS (SELECT doc_id, i - 1 AS pos, a[i] AS tok
+             FROM arr, UNNEST(generate_series(1, len(a))) AS t(i)),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM toks t ANTI JOIN cov USING (doc_id, pos)),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+                   COUNT(*) AS n_after
+            FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id,
+                    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                      AS n_tokens_before
+             FROM documents)
+    SELECT b.doc_id, b.n_tokens_before,
+           CAST(COALESCE(r.n_after, 0) AS BIGINT) AS n_tokens_after,
+           md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform side of Lee-2022 substring dedup: rebuild each doc
+    with duplicated spans cut out — token anti-join against exploded
+    span coverage, order restored by a partial-aggregable
+    array_sort(struct(pos, tok)) fold (no per-doc window); the md5 of
+    the reconstructed text pins the exact output cross-engine."""
+    from .operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(T(spark, sf_dir, "documents"), k=8, min_len=12)

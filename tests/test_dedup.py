@@ -399,3 +399,31 @@ def test_minhash_incremental_equals_full_restricted(planted):
     touch = {"near_a", "caps_a", "d001"}
     want = {(a, b, j) for (a, b, j) in full if a in touch or b in touch}
     assert inc == want and inc  # non-empty: near_a pairs with dup_a/dup_b
+
+
+def test_remove_dup_spans_reconstruction(spark):
+    """The planted shared block is cut from both docs; untouched text
+    reconstructs verbatim (md5 equality against hand-built expected)."""
+    import hashlib
+
+    from fundamental_spark.operators.dedup import remove_dup_spans
+
+    rng = random.Random(61)
+    block = " ".join(WORDS[rng.randrange(len(WORDS))] for _ in range(20))
+    uniq1 = _doc(random.Random(67), 40)
+    uniq2 = _doc(random.Random(71), 40)
+    docs = spark.createDataFrame(
+        [
+            (1, uniq1 + " " + block),
+            (2, block + " " + uniq2),
+            (3, _doc(random.Random(73), 50)),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1]["n_tokens_after"] == 40
+    assert got[1]["cleaned_md5"] == md5(uniq1)
+    assert got[2]["cleaned_md5"] == md5(uniq2)
+    assert got[3]["n_tokens_after"] == 50
+    assert got[3]["cleaned_md5"] == md5(docs.filter("doc_id=3").first()["text"])
