@@ -2671,3 +2671,77 @@ def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import remove_dup_spans
 
     return remove_dup_spans(T(spark, sf_dir, "documents"), k=8, min_len=12)
+
+
+@q(
+    "pipeline_e2e",
+    """
+    WITH toksA AS (SELECT doc_id, source,
+                          string_split_regex(trim(text), '\\s+') AS a, text
+                   FROM documents),
+    uni AS (SELECT doc_id, COUNT(DISTINCT t) AS nd, COUNT(*) AS nt
+            FROM (SELECT doc_id, unnest(a) AS t FROM toksA) GROUP BY doc_id),
+    bgc AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+            FROM (SELECT doc_id, a[i] || ' ' || a[i+1] AS g, COUNT(*) AS c
+                  FROM toksA, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+                  GROUP BY 1, 2)
+            GROUP BY doc_id),
+    quality AS (SELECT t.doc_id, t.source, len(t.a) AS n_tokens,
+                       md5(regexp_replace(lower(trim(t.text)),
+                                          '\\s+', ' ', 'g')) AS fp
+                FROM toksA t JOIN uni USING (doc_id)
+                LEFT JOIN bgc USING (doc_id)
+                WHERE COALESCE(mx * 1.0 / tot, 0.0) <= 0.2
+                  AND 1.0 - nd * 1.0 / nt <= 0.3),
+    keepers AS (SELECT fp, MIN(doc_id) AS keep_id FROM quality GROUP BY fp),
+    final AS (SELECT q.* FROM quality q
+              JOIN keepers k ON q.fp = k.fp AND q.doc_id = k.keep_id),
+    ins AS (SELECT source, COUNT(*) AS n_docs_in FROM documents GROUP BY source),
+    quals AS (SELECT source, COUNT(*) AS n_after_quality
+              FROM quality GROUP BY source),
+    fins AS (SELECT source, COUNT(*) AS n_after_dedup,
+                    CAST(SUM(n_tokens) AS BIGINT) AS tokens_final
+             FROM final GROUP BY source)
+    SELECT i.source, i.n_docs_in,
+           COALESCE(q.n_after_quality, 0) AS n_after_quality,
+           COALESCE(f.n_after_dedup, 0) AS n_after_dedup,
+           CAST(COALESCE(f.tokens_final, 0) AS BIGINT) AS tokens_final
+    FROM ins i
+    LEFT JOIN quals q USING (source) LEFT JOIN fins f USING (source)
+    """,
+)
+def pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end assembly in ONE declarative plan: repetition-quality
+    gate (B2 caps) -> exact dedup keep-first on the survivors -> per-
+    source audit rollup. The point: the whole cleaning pipeline is a
+    single Catalyst plan — filters fuse, the dedup groupBy is the only
+    corpus-keyed exchange, and nothing materializes between stages."""
+    from .operators.pipeline import repetition_metrics
+
+    d = T(spark, sf_dir, "documents")
+    rep = repetition_metrics(d).filter(F.col("keep")).select("doc_id", "n_tokens")
+    quality = d.join(rep, "doc_id").select(
+        "doc_id", "source", "n_tokens", fingerprint(F.col("text")).alias("fp")
+    )
+    keepers = quality.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    final = quality.join(
+        keepers,
+        (quality["fp"] == keepers["fp"]) & (quality["doc_id"] == keepers["keep_id"]),
+    )
+    ins = d.groupBy("source").agg(F.count("*").alias("n_docs_in"))
+    quals = quality.groupBy("source").agg(F.count("*").alias("n_after_quality"))
+    fins = final.groupBy("source").agg(
+        F.count("*").alias("n_after_dedup"),
+        F.sum("n_tokens").alias("tokens_final"),
+    )
+    return (
+        ins.join(quals, "source", "left")
+        .join(fins, "source", "left")
+        .select(
+            "source",
+            "n_docs_in",
+            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("tokens_final", F.lit(0)).cast("bigint").alias("tokens_final"),
+        )
+    )
