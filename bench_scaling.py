@@ -50,7 +50,14 @@ WORKLOAD = {
 
 
 def run_leg(cpus: int) -> dict:
-    env = dict(os.environ, **WORKLOAD, SPARK_GRAFT_CPUS=str(cpus))
+    # one crawl run per leg: this script interleaves its own repeats
+    # (bench.py's own best-of-2 default would double every leg)
+    env = dict(
+        os.environ,
+        **WORKLOAD,
+        SPARK_GRAFT_CPUS=str(cpus),
+        FS_BENCH_CRAWL_REPEATS="1",
+    )
     out = subprocess.run(
         [sys.executable, "bench.py", "--crawl-only"],
         env=env,
