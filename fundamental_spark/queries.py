@@ -2691,8 +2691,12 @@ def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           '\\s+', ' ', 'g')) AS fp
                 FROM toksA t JOIN uni USING (doc_id)
                 LEFT JOIN bgc USING (doc_id)
-                WHERE COALESCE(mx * 1.0 / tot, 0.0) <= 0.2
-                  AND 1.0 - nd * 1.0 / nt <= 0.3),
+                -- ROUND(..., 4) mirrors repetition_metrics exactly: at a
+                -- boundary doc (e.g. dup fraction exactly 6/20) the raw
+                -- '1.0 - nd/nt' float form lands at 0.30000000000000004
+                -- and flips the gate vs Spark's rounded compare
+                WHERE ROUND(COALESCE(mx * 1.0 / tot, 0.0), 4) <= 0.2
+                  AND ROUND(1.0 - nd * 1.0 / nt, 4) <= 0.3),
     keepers AS (SELECT fp, MIN(doc_id) AS keep_id FROM quality GROUP BY fp),
     final AS (SELECT q.* FROM quality q
               JOIN keepers k ON q.fp = k.fp AND q.doc_id = k.keep_id),
@@ -2723,10 +2727,13 @@ def pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = d.join(rep, "doc_id").select(
         "doc_id", "source", "n_tokens", fingerprint(F.col("text")).alias("fp")
     )
+    # keep_id values are exactly the surviving doc_ids (one per fp
+    # group), so a semi-join on doc_id alone selects the keepers — no
+    # fp re-join (which, keepers being derived FROM quality, Spark
+    # would resolve as a trivially-true self-compare anyway)
     keepers = quality.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     final = quality.join(
-        keepers,
-        (quality["fp"] == keepers["fp"]) & (quality["doc_id"] == keepers["keep_id"]),
+        keepers.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
     )
     ins = d.groupBy("source").agg(F.count("*").alias("n_docs_in"))
     quals = quality.groupBy("source").agg(F.count("*").alias("n_after_quality"))
