@@ -178,6 +178,7 @@ HEADLINE_QUERIES = [
     "lm_fluency_buckets",
     "dsir_weights",
     "gopher_quality",
+    "bm25_search",
 ]
 
 

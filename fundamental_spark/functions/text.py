@@ -114,3 +114,59 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(t).alias("fp"),
         langid(t).alias("lang_pred"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BM25 keyword search: top-k documents for a bag of
+    query terms (Robertson-Sparck Jones BM25, the Lucene-default
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf, so scores are always
+    positive). The corpus-curation retrieval primitive: inspect what a
+    contamination / dedup / quality query flagged by ranked example.
+
+    Scale shape (the inverted-index plan, no index materialized):
+    - the exploded token stream is filtered to the query terms BEFORE
+      any aggregation — everything downstream is proportional to docs
+      CONTAINING a query term, not the corpus;
+    - per-(doc, term) tf is a map-side-combinable count, keyed wide
+      enough to never hot-spot (doc_id is in the key);
+    - df and the (N, avgdl) corpus stats are tiny (≤|terms| rows, 1
+      row) and broadcast;
+    - the final top-k is orderBy+limit -> TakeOrderedAndProject (per-
+      partition heaps, never a global sort).
+    """
+    terms = [t.lower() for t in query_terms]
+    dl = F.size(tokens(F.col(text_col))).alias("dl")
+    toks = docs.select(
+        F.col(id_col), dl, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term").isin(*terms))
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.select(dl).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 4).alias("bm25"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)

@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 
 from .functions.text import (
     QUALITY_STOPWORDS,
+    bm25_topk,
     fingerprint,
     langid,
     punct_ratio,
@@ -2751,4 +2752,40 @@ def pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
             F.coalesce("tokens_final", F.lit(0)).cast("bigint").alias("tokens_final"),
         )
+    )
+
+
+@q(
+    "bm25_search",
+    """
+    WITH toks AS (SELECT doc_id,
+                         len(string_split_regex(trim(text), '\\s+')) AS dl,
+                         string_split_regex(lower(trim(text)), '\\s+') AS a
+                  FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM toks),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(a) AS term FROM toks)
+           WHERE term IN ('dup', 'join', 'vector') GROUP BY 1, 2, 3),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (SELECT tf.doc_id,
+                      ROUND(SUM(ln(1.0 + (s.n_docs - d.df + 0.5)
+                                         / (d.df + 0.5))
+                                * tf.tf * 2.2
+                                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                                         / s.avgdl))),
+                            4) AS bm25,
+                      COUNT(*) AS n_terms_matched
+               FROM tf JOIN dft d USING (term) CROSS JOIN stats s
+               GROUP BY 1)
+    SELECT doc_id, bm25, n_terms_matched
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (X5): one rare + two
+    common terms, so the ranking exercises the full idf spread. The
+    rank-by-ROUNDED-score rule makes the ordering itself cross-engine
+    deterministic (raw ln() last-ulp differences can never flip it)."""
+    return bm25_topk(
+        T(spark, sf_dir, "documents"), query_terms=("dup", "join", "vector"), k=10
     )

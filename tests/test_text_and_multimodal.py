@@ -97,3 +97,38 @@ def test_video_frame_sampling(spark):
     )
     frames = sample_video_frames(m, every_ms=1000).collect()
     assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_bm25_ranking_and_topk(spark):
+    from fundamental_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            # repeats the rare term in a short doc -> highest tf, low dl
+            (1, "dup dup dup scan"),
+            # one rare-term hit in a longer doc
+            (2, "dup scan merge join filter sort window batch"),
+            # common term only
+            (3, "join scan merge"),
+            # no query term at all -> must not appear
+            (4, "scan merge filter sort"),
+            # filler docs so idf('dup') > idf('join')
+            (5, "join alpha beta"),
+            (6, "join gamma delta"),
+            (7, "join epsilon zeta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = bm25_topk(docs, query_terms=("dup", "join"), k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids
+    assert len(ids) == 6
+    # the dup-heavy short doc dominates; the single-hit dup doc beats
+    # any join-only doc (df(dup)=2 of 7 vs df(join)=5 of 7)
+    assert ids[0] == 1
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert scores[2] > max(scores[i] for i in (3, 5, 6, 7))
+    by_id = {r.doc_id: r.n_terms_matched for r in out}
+    assert by_id[1] == 1 and by_id[2] == 2 and by_id[3] == 1
+    # k cap respected
+    assert len(bm25_topk(docs, query_terms=("dup", "join"), k=2).collect()) == 2
