@@ -137,3 +137,12 @@ def test_assembly_tier_plans(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert pack_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_plan_shape(spark):
+    # X5: top-k must be TakeOrderedAndProject (no global sort), df and
+    # corpus stats broadcast (no SortMergeJoin anywhere), zero Python
+    plan = _plan(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
