@@ -103,6 +103,14 @@ def main() -> None:
                     help="comma list of a:b core windows")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument(
+        "--write",
+        action="store_true",
+        help="rewrite the SCALING section of --out; without it the "
+        "section is printed to stderr only (the committed table is "
+        "curated best-over-ALL-sessions — a blind rewrite from one "
+        "pass would replace it with that pass's legs alone)",
+    )
     args = ap.parse_args()
     windows = [tuple(int(x) for x in w.split(":")) for w in args.windows.split(",")]
     cores = sorted({c for w in windows for c in w})
@@ -151,20 +159,26 @@ def main() -> None:
         bpp=bpp,
         doc_kb=round(docs_bytes / max(pages_top, 1) / 1024, 1),
     )
-    # splice between markers so hand-written sections of the file survive
-    begin, end = "<!-- SCALING:BEGIN -->", "<!-- SCALING:END -->"
-    if os.path.exists(args.out):
-        cur = open(args.out).read()
-        if begin in cur and end in cur:
-            pre, rest = cur.split(begin, 1)
-            _, post = rest.split(end, 1)
-            cur = pre + section + post
+    if args.write:
+        # splice between markers so hand-written sections of the file
+        # survive (everything OUTSIDE the markers, that is — the
+        # section itself is replaced with THIS run's legs, which is why
+        # the rewrite is opt-in)
+        begin, end = "<!-- SCALING:BEGIN -->", "<!-- SCALING:END -->"
+        if os.path.exists(args.out):
+            cur = open(args.out).read()
+            if begin in cur and end in cur:
+                pre, rest = cur.split(begin, 1)
+                _, post = rest.split(end, 1)
+                cur = pre + section + post
+            else:
+                cur = cur.rstrip() + "\n\n" + section + "\n"
         else:
-            cur = cur.rstrip() + "\n\n" + section + "\n"
+            cur = "# BENCH/BASELINE — measured numbers\n\n" + section + "\n"
+        with open(args.out, "w") as f:
+            f.write(cur)
     else:
-        cur = "# BENCH/BASELINE — measured numbers\n\n" + section + "\n"
-    with open(args.out, "w") as f:
-        f.write(cur)
+        print(section, file=sys.stderr)
     summary = {
         "legs": {str(c): best[c]["value"] for c in cores},
         "efficiency": {f"{a}->{b}": e for (a, b), e in effs.items()},
