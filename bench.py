@@ -179,6 +179,7 @@ HEADLINE_QUERIES = [
     "dsir_weights",
     "gopher_quality",
     "bm25_search",
+    "quality_classifier",
 ]
 
 

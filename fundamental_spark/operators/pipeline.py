@@ -1032,3 +1032,115 @@ def gopher_quality(
             & (d5f <= max_dup5_frac)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality classifier: deterministic logistic regression (B17, round 5)
+# ---------------------------------------------------------------------------
+
+# the en list from functions/text.py LANG_STOPWORDS, frozen here as a
+# tuple so the classifier's feature definition is self-contained and
+# the SQL twin can embed it
+_EN_STOPS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "was")
+
+
+def _stop_frac(toks, words) -> F.Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_lr_fit(
+    docs: DataFrame,
+    n_steps: int = 8,
+    lr: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classifier-based quality filtering, the RefinedWeb / DCLM /
+    CCNet move: train a cheap linear model to stand in for an
+    expensive gate (here: distill the Gopher repetition rule — the
+    standard trick of fitting a fast classifier to a slower filter's
+    verdicts so the gate can run as one fused column expression).
+    Deterministic full-batch logistic regression — ``n_steps``
+    gradient-descent steps from zero weights, no RNG, no sampling — on
+    three JVM-computed features (stopword fraction, distinct-token
+    fraction, scaled log-length); label = ``repetition_metrics`` keep.
+    Returns ONE row: the learned weights, training accuracy vs the
+    teacher gate, and class balance.
+
+    Scale shape: features are computed once and persisted as a narrow
+    (y, x1, x2, x3) frame; each GD step is then a single map-side-
+    combinable global aggregate (4 partial sums — the gradient), so a
+    step costs one pass over n rows of 4 doubles regardless of corpus
+    text size, and the weights that cross steps are 4 scalars on the
+    driver. Per-step weights are pinned to a 1e-9 grid in BOTH engines
+    (the k-means/PQ trick) so float drift cannot compound across
+    steps."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    labels = repetition_metrics(docs, id_col=id_col, text_col=text_col).select(
+        id_col, F.col("keep").cast("double").alias("y")
+    )
+    raw = docs.join(labels, id_col).select(
+        "y",
+        F.round(_stop_frac(toks, _EN_STOPS), 9).alias("x1"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+            9,
+        ).alias("x2"),
+        F.round(F.log1p(F.size(toks)) / F.lit(10.0), 9).alias("x3"),
+    )
+    # standardize: full-batch GD on raw fractions spends its first ~20
+    # steps fighting the class-imbalance bias; z-scored features reach
+    # discriminative weights in ~8. One extra map-side-combinable pass;
+    # moments grid-pinned like the weights.
+    st = raw.agg(
+        *[F.round(F.avg(f"x{j}"), 9).alias(f"m{j}") for j in (1, 2, 3)],
+        *[F.round(F.stddev_pop(f"x{j}"), 9).alias(f"s{j}") for j in (1, 2, 3)],
+    ).collect()[0]
+    feats = raw.select(
+        "y",
+        *[
+            F.round(
+                (F.col(f"x{j}") - F.lit(st[f"m{j}"]))
+                / F.lit(max(st[f"s{j}"], 1e-9)),
+                9,
+            ).alias(f"x{j}")
+            for j in (1, 2, 3)
+        ],
+    ).persist()
+    try:
+        w = [0.0, 0.0, 0.0]
+        b = 0.0
+        for _ in range(n_steps):
+            z = F.lit(b) + sum(F.lit(w[j]) * F.col(f"x{j+1}") for j in range(3))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("y")
+            # the updated weights are rounded INSIDE the JVM (F.round is
+            # half-away-from-zero, matching DuckDB ROUND; Python round()
+            # is banker's and would diverge exactly on grid half-points)
+            g = feats.agg(
+                *[
+                    F.round(
+                        F.lit(w[j]) - F.lit(lr) * F.avg(err * F.col(f"x{j+1}")), 9
+                    ).alias(f"w{j+1}")
+                    for j in range(3)
+                ],
+                F.round(F.lit(b) - F.lit(lr) * F.avg(err), 9).alias("b"),
+            ).collect()[0]
+            w = [g[f"w{j+1}"] for j in range(3)]
+            b = g["b"]
+        z = F.lit(b) + sum(F.lit(w[j]) * F.col(f"x{j+1}") for j in range(3))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return feats.agg(
+            F.lit(w[0]).alias("w_stop"),
+            F.lit(w[1]).alias("w_distinct"),
+            F.lit(w[2]).alias("w_len"),
+            F.lit(b).alias("bias"),
+            F.round(F.avg(((p > 0.5) == (F.col("y") > 0.5)).cast("double")), 4).alias(
+                "accuracy"
+            ),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("y").cast("bigint")).alias("n_pos"),
+        )
+    finally:
+        feats.unpersist(blocking=False)

@@ -2789,3 +2789,83 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         T(spark, sf_dir, "documents"), query_terms=("dup", "join", "vector"), k=10
     )
+
+
+def _lr_oracle() -> str:
+    from .operators.pipeline import _EN_STOPS
+
+    en = ", ".join(f"'{w}'" for w in _EN_STOPS)
+
+    def z(c):  # the logit under step-CTE c's weights
+        return f"({c}.b + {c}.w1*x1 + {c}.w2*x2 + {c}.w3*x3)"
+
+    def step(prev, cur):
+        p = f"(1.0/(1.0 + exp(-{z(prev)})))"
+        return f"""{cur} AS (
+      SELECT ROUND({prev}.w1 - 2.0*AVG(({p} - y)*x1), 9) AS w1,
+             ROUND({prev}.w2 - 2.0*AVG(({p} - y)*x2), 9) AS w2,
+             ROUND({prev}.w3 - 2.0*AVG(({p} - y)*x3), 9) AS w3,
+             ROUND({prev}.b  - 2.0*AVG({p} - y), 9) AS b
+      FROM feats, {prev} GROUP BY {prev}.w1, {prev}.w2, {prev}.w3, {prev}.b)"""
+
+    n_steps = 8
+    steps = ",\n    ".join(step(f"s{i}", f"s{i+1}") for i in range(n_steps))
+    last = f"s{n_steps}"
+    pf = f"(1.0/(1.0 + exp(-{z(last)})))"
+    # label: the Gopher repetition gate (repetition_metrics), the same
+    # rounded-compare form the gopher/pipeline_e2e oracles use
+    return f"""
+    WITH base AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS raw,
+                         string_split_regex(trim(lower(text)), '\\s+') AS ts
+                  FROM documents),
+    uni AS (SELECT doc_id, COUNT(DISTINCT t) AS nd, COUNT(*) AS nt
+            FROM (SELECT doc_id, unnest(raw) AS t FROM base) GROUP BY doc_id),
+    bgc AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+            FROM (SELECT doc_id, raw[i] || ' ' || raw[i+1] AS g, COUNT(*) AS c
+                  FROM base, UNNEST(generate_series(1, len(raw) - 1)) AS t(i)
+                  GROUP BY 1, 2) GROUP BY doc_id),
+    rawf AS (
+      SELECT CASE WHEN ROUND(COALESCE(mx * 1.0 / tot, 0.0), 4) <= 0.2
+                   AND ROUND(1.0 - nd * 1.0 / nt, 4) <= 0.3
+                  THEN 1.0 ELSE 0.0 END AS y,
+             ROUND(len(list_filter(ts, t -> t IN ({en}))) * 1.0
+                   / GREATEST(len(ts), 1), 9) AS x1,
+             ROUND(len(list_distinct(ts)) * 1.0
+                   / GREATEST(len(ts), 1), 9) AS x2,
+             ROUND(ln(1.0 + len(ts)) / 10.0, 9) AS x3
+      FROM base JOIN uni USING (doc_id) LEFT JOIN bgc USING (doc_id)),
+    mo AS (SELECT ROUND(AVG(x1), 9) AS m1, ROUND(AVG(x2), 9) AS m2,
+                  ROUND(AVG(x3), 9) AS m3,
+                  ROUND(STDDEV_POP(x1), 9) AS sd1,
+                  ROUND(STDDEV_POP(x2), 9) AS sd2,
+                  ROUND(STDDEV_POP(x3), 9) AS sd3
+           FROM rawf),
+    feats AS (
+      SELECT y,
+             ROUND((x1 - m1) / GREATEST(sd1, 1e-9), 9) AS x1,
+             ROUND((x2 - m2) / GREATEST(sd2, 1e-9), 9) AS x2,
+             ROUND((x3 - m3) / GREATEST(sd3, 1e-9), 9) AS x3
+      FROM rawf, mo),
+    s0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+    {steps}
+    SELECT {last}.w1 AS w_stop, {last}.w2 AS w_distinct,
+           {last}.w3 AS w_len, {last}.b AS bias,
+           ROUND(AVG(CASE WHEN ({pf} > 0.5) = (y > 0.5)
+                          THEN 1.0 ELSE 0.0 END), 4) AS accuracy,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+    FROM feats, {last} GROUP BY {last}.w1, {last}.w2, {last}.w3, {last}.b
+    """
+
+
+@q("quality_classifier", _lr_oracle())
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (B17): deterministic full-
+    batch logistic regression — 3 GD steps, weights grid-pinned at 1e-9
+    per step — distilling the Gopher repetition gate into three cheap
+    JVM features. The oracle unrolls the 3 steps as scalar CTE rounds
+    (the k-means/BPE trick)."""
+    from .operators.pipeline import quality_lr_fit
+
+    return quality_lr_fit(T(spark, sf_dir, "documents"))

@@ -490,3 +490,29 @@ def test_new_ops_survive_empty_corpus(spark):
     assert minhash_incremental_pairs(
         empty, F.col("doc_id") % 10 == 0, allow_low_recall=True
     ).count() == 0
+
+
+def test_quality_lr_distills_the_repetition_gate(spark):
+    from fundamental_spark.operators.pipeline import (
+        quality_lr_fit,
+        repetition_metrics,
+    )
+
+    # 12 clean docs (all-distinct tokens) + 8 spammy docs (one token
+    # repeated well past the dup-unigram cap) — the teacher gate splits
+    # them exactly, and distinct-fraction is the separating feature
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(24))) for i in range(12)]
+    rows += [(100 + i, ("spam " * 20) + f"tail{i} end{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    keep_rate = (
+        repetition_metrics(docs).filter("keep").count() / docs.count()
+    )
+    out = quality_lr_fit(docs).collect()[0]
+    assert out["n_docs"] == 20 and out["n_pos"] == 12
+    # beats the majority-class baseline = the model actually separates
+    assert out["accuracy"] > max(keep_rate, 1 - keep_rate)
+    assert out["accuracy"] >= 0.95
+    assert out["w_distinct"] > 0  # higher distinct fraction -> keep
+    # deterministic: a second fit reproduces every weight bit-for-bit
+    again = quality_lr_fit(docs).collect()[0]
+    assert tuple(out) == tuple(again)
