@@ -71,3 +71,17 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_bench_headline_names_are_registered():
+    # bench.py is part of the driver contract: a query rename that
+    # forgets the headline list must fail in CI, not at bench time
+    import bench
+
+    missing = [n for n in bench.HEADLINE_QUERIES if n not in QUERIES]
+    assert not missing, missing
+
+
+def test_every_query_has_an_oracle():
+    # round-5 invariant: zero no_oracle rows
+    assert set(QUERIES) == set(ORACLES)
