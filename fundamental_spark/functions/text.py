@@ -53,15 +53,47 @@ def stopword_ratio(text: Column, stopwords: tuple[str, ...] = QUALITY_STOPWORDS)
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
+def _lattice4(num: Column, den: Column) -> Column:
+    """round(num/den, 4) as an INTEGER in [0, 10000]. Rounding to 0 dp
+    is the one scale where Spark (BigDecimal on the double's shortest
+    decimal repr) and DuckDB (x*10^k scaling) can never disagree: the
+    only boundary doubles are exact X.5 values, which both engines
+    round away from zero. At scale 4 the two implementations DO
+    disagree on composites whose true decimal lands exactly on a
+    0.00005 boundary (observed at sf0.1), so the quality composite is
+    assembled on this integer lattice instead."""
+    return F.round(num * F.lit(10000.0) / den).cast("long")
+
+
+def punct_ratio4(text: Column) -> Column:
+    """punct_ratio rounded to 4 dp on the integer lattice (see
+    _lattice4 for why this beats ROUND(x, 4) cross-engine)."""
+    n_punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    return _lattice4(n_punct, F.greatest(F.length(text), F.lit(1))) / F.lit(10000.0)
+
+
+def stopword_ratio4(text: Column) -> Column:
+    """stopword_ratio rounded to 4 dp on the integer lattice."""
+    hits = F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*QUALITY_STOPWORDS)))
+    return _lattice4(hits, F.greatest(token_count(text), F.lit(1))) / F.lit(10000.0)
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic: length saturation + low punctuation
-    + stopword presence (natural-language signal). Deterministic,
-    SQL-expressible (oracle twin in queries.py)."""
-    length_part = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
-    return F.round(
-        0.4 * length_part + 0.3 * (1.0 - punct_ratio(text)) + 0.3 * stopword_ratio(text),
-        4,
-    )
+    + stopword presence (natural-language signal). Deterministic and
+    cross-engine EXACT: each sub-ratio is rounded to the 1e-4 integer
+    lattice, the weighted sum (weights 0.4/0.3/0.3 = integers 4/3/3
+    over a 1e-5 lattice) stays in int64, and the final half-up to 4 dp
+    is integer floor((N+5)/10) — no double ever meets a decimal
+    rounding boundary. SQL twin in queries.py mirrors it literally."""
+    toks_n = token_count(text)
+    lp4 = F.least(toks_n * F.lit(100), F.lit(10000)).cast("long")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    p4 = _lattice4(n_punct, F.greatest(F.length(text), F.lit(1)))
+    hits = F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*QUALITY_STOPWORDS)))
+    s4 = _lattice4(hits, F.greatest(toks_n, F.lit(1)))
+    n = 4 * lp4 + 3 * (F.lit(10000) - p4) + 3 * s4
+    return F.floor((n + F.lit(5)) / F.lit(10.0)) / F.lit(10000.0)
 
 
 def normalize_text(text: Column) -> Column:

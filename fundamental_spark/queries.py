@@ -46,8 +46,10 @@ from .functions.text import (
     fingerprint,
     langid,
     punct_ratio,
+    punct_ratio4,
     quality_score,
     stopword_ratio,
+    stopword_ratio4,
     token_count,
 )
 from .operators.dedup import (
@@ -1003,19 +1005,25 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     f"""
     WITH feats AS (
+      -- integer-lattice 4-dp sub-ratios (functions/text.py _lattice4):
+      -- 0-dp ROUND is the one scale where the two engines' rounding
+      -- implementations can never disagree; composites then stay in
+      -- int64 and the final half-up is integer FLOOR((N+5)/10)
       SELECT doc_id,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
-               / GREATEST(length(text), 1) AS praw,
-             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                             x -> x IN ({_Q_STOP}))) * 1.0
-               / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS sraw
+             CAST(ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+               * 10000.0 / GREATEST(length(text), 1)) AS BIGINT) AS p4,
+             CAST(ROUND(len(list_filter(
+                     string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x IN ({_Q_STOP}))) * 10000.0
+               / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1))
+               AS BIGINT) AS s4
       FROM documents)
     SELECT doc_id, n_tokens,
-           ROUND(praw, 4) AS punct_ratio,
-           ROUND(sraw, 4) AS stopword_ratio,
-           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
-                 + 0.3 * (1.0 - praw) + 0.3 * sraw, 4) AS quality
+           p4 / 10000.0 AS punct_ratio,
+           s4 / 10000.0 AS stopword_ratio,
+           FLOOR((4 * LEAST(n_tokens * 100, 10000)
+                  + 3 * (10000 - p4) + 3 * s4 + 5) / 10.0) / 10000.0 AS quality
     FROM feats
     """,
 )
@@ -1025,8 +1033,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
-        F.round(punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        punct_ratio4(t).alias("punct_ratio"),
+        stopword_ratio4(t).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
     )
 
@@ -2404,19 +2412,20 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
               SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v),
     comp AS (SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v),
     qs AS (SELECT doc_id,
-                  ROUND(0.4 * LEAST(
-                          len(string_split_regex(trim(text), '\\s+')) / 100.0,
-                          1.0)
-                        + 0.3 * (1.0 -
-                          length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                          * 1.0 / GREATEST(length(text), 1))
-                        + 0.3 *
-                          len(list_filter(
-                                string_split_regex(lower(trim(text)), '\\s+'),
-                                x -> x IN ({_Q_STOP}))) * 1.0
-                          / GREATEST(
-                              len(string_split_regex(trim(text), '\\s+')), 1),
-                        4) AS q
+                  FLOOR((4 * LEAST(
+                           len(string_split_regex(trim(text), '\\s+')) * 100,
+                           10000)
+                         + 3 * (10000 -
+                           CAST(ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                             * 10000.0 / GREATEST(length(text), 1)) AS BIGINT))
+                         + 3 *
+                           CAST(ROUND(len(list_filter(
+                                 string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x IN ({_Q_STOP}))) * 10000.0
+                             / GREATEST(
+                               len(string_split_regex(trim(text), '\\s+')), 1))
+                             AS BIGINT)
+                         + 5) / 10.0) / 10000.0 AS q
            FROM documents),
     scored AS (SELECT c.doc_id, c.cluster_id,
                       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
@@ -2480,18 +2489,19 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, lang,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
              {_FP_SQL} AS fp,
-             ROUND(0.4 * LEAST(
-                     len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
-                   + 0.3 * (1.0 -
-                     length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                     * 1.0 / GREATEST(length(text), 1))
-                   + 0.3 *
-                     len(list_filter(
-                           string_split_regex(lower(trim(text)), '\\s+'),
-                           x -> x IN ({_Q_STOP}))) * 1.0
-                     / GREATEST(
-                         len(string_split_regex(trim(text), '\\s+')), 1),
-                   4) AS q,
+             FLOOR((4 * LEAST(
+                      len(string_split_regex(trim(text), '\\s+')) * 100, 10000)
+                    + 3 * (10000 -
+                      CAST(ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                        * 10000.0 / GREATEST(length(text), 1)) AS BIGINT))
+                    + 3 *
+                      CAST(ROUND(len(list_filter(
+                            string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x IN ({_Q_STOP}))) * 10000.0
+                        / GREATEST(
+                          len(string_split_regex(trim(text), '\\s+')), 1))
+                        AS BIGINT)
+                    + 5) / 10.0) / 10000.0 AS q,
              (regexp_matches(text,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
               OR regexp_matches(text, '\\+?[0-9][0-9 -]{{8,}}[0-9]'))
