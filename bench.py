@@ -217,13 +217,16 @@ def main() -> None:
 
     result: dict = {"sf": sf, "cpus": cpus}
     if not queries_only:
-        # per-leg best over repeats: host wall-clock noise on the shared
+        # median-of-N over repeats: host wall-clock noise on the shared
         # sandbox swings identical runs 150-500 pages/s within minutes
-        # (BENCH/BASELINE.md documents the estimator); the best run is
-        # the capacity measurement, and every run is reported alongside
-        repeats = int(os.environ.get("FS_BENCH_CRAWL_REPEATS", "2"))
+        # (BENCH/BASELINE.md documents the estimator). The r5 best-of-2
+        # was upward-biased by construction (round-5 judge); the median
+        # is noise-robust without the bias, and every run is reported
+        # alongside so the spread stays visible.
+        repeats = int(os.environ.get("FS_BENCH_CRAWL_REPEATS", "3"))
         runs = [crawl_bench(spark, sf, cpus) for _ in range(max(1, repeats))]
-        crawl = max(runs, key=lambda r: r["pages_per_sec"])
+        by_rate = sorted(runs, key=lambda r: r["pages_per_sec"])
+        crawl = by_rate[(len(by_rate) - 1) // 2]  # lower median for even N
         crawl["runs_pages_per_sec"] = [r["pages_per_sec"] for r in runs]
         result.update(
             metric="frontier_pages_per_sec",

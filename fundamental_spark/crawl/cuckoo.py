@@ -222,11 +222,28 @@ def delete_keys(cuckoo: DataFrame, deletes: DataFrame) -> DataFrame:
         h = del_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
         fp, i1, i2 = _fp_i1_i2(h, m, f)
         sk = _stash_key(i1, fp)
-        # drop stash entries first (exact match, one per delete key)
-        in_stash = np.isin(sk, stash)
-        if in_stash.any():
-            stash = np.setdiff1d(stash, sk[in_stash])
-        rem_fp, rem_i1, rem_i2 = fp[~in_stash], i1[~in_stash], i2[~in_stash]
+        # Drop stash entries first — ONE stash slot per matching delete
+        # key (multiset removal). np.setdiff1d would strip ALL
+        # occurrences of a colliding (i1, fp) value, silently deleting
+        # another URL's entry; and if more delete keys share a stash
+        # key than the stash holds, the surplus keys must fall through
+        # to table-slot removal.
+        from collections import Counter
+
+        stash_cnt = Counter(stash.tolist())
+        from_stash = np.zeros(len(sk), dtype=bool)
+        for j in range(len(sk)):
+            v = int(sk[j])
+            if stash_cnt.get(v, 0) > 0:
+                stash_cnt[v] -= 1
+                from_stash[j] = True
+        stash = np.sort(
+            np.array(
+                [v for v, c in stash_cnt.items() for _ in range(c)],
+                dtype=np.uint64,
+            )
+        )
+        rem_fp, rem_i1, rem_i2 = fp[~from_stash], i1[~from_stash], i2[~from_stash]
         pairs = {}
         for j in range(len(rem_fp)):
             pairs.setdefault((int(rem_fp[j]), int(rem_i1[j]), int(rem_i2[j])), 0)

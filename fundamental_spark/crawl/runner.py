@@ -334,9 +334,17 @@ class CrawlRunner:
         inits = [("frontier_pending", frontier)]
 
         if isinstance(existing_urls, DataFrame):
+            # init() is a RESET that drops every table under the
+            # warehouse root below — but the natural at-scale source
+            # for existing_urls is a PREVIOUS run's url_seen table in
+            # that same root, whose files the drop loop would delete
+            # before this lazy plan is evaluated by the bootstrap
+            # snapshot. Materialize the snapshot eagerly (executor
+            # block storage, lineage truncated) so the seen set is
+            # pinned before anything is dropped.
             seen_src = existing_urls.select(
                 F.col(existing_urls.columns[0]).alias("url")
-            )
+            ).localCheckpoint(eager=True)
         else:
             seen_src = spark.createDataFrame(
                 [(u,) for u in (existing_urls or [])], "url string"

@@ -286,6 +286,11 @@ def mixture_sample(
     Every run, engine, and executor count lands on the identical
     sample — reshuffling the cluster can't silently change the
     mixture."""
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"mixture rate for source {s!r} must be >= 0, got {r}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
     rate: F.Column | None = None
     for s, r in sorted(rates.items()):
         cond = F.col(source_col) == s
@@ -301,8 +306,16 @@ def mixture_sample(
     )
     scale = 1_000_000
     with_rate = docs.withColumn("mix_rate", rate_col)
+    # rate 0.0 means "drop this source": sequence(0, ceil(0)-1) would
+    # produce the DESCENDING [0, -1] and epoch -1 passes the
+    # integer-epoch gate (-1+1 <= floor(0)) — a phantom copy. Gate the
+    # epoch list so sub-1 ceilings yield an empty array (row dropped by
+    # explode), matching the oracle, which generates no epochs there.
     epoch = F.explode(
-        F.sequence(F.lit(0), F.ceil(F.col("mix_rate")).cast("int") - 1)
+        F.when(
+            F.ceil(F.col("mix_rate")) >= 1,
+            F.sequence(F.lit(0), F.ceil(F.col("mix_rate")).cast("int") - 1),
+        ).otherwise(F.array().cast("array<int>"))
     )
     u = F.pmod(
         _md5_hash60(

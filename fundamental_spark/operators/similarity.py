@@ -761,8 +761,12 @@ def semdedup(
         mat /= nrm
         sims = mat @ mat.T
         # dropped[j] ⇔ ∃ i<j with cos(i,j) ≥ θ; ids are sorted, so
-        # "earlier id" is exactly the strict upper triangle
-        hot = sims >= threshold
+        # "earlier id" is exactly the strict upper triangle. The cosine
+        # is pinned to the 1e-9 grid before the compare — BLAS's pairwise
+        # summation and the oracle's sequential list_cosine_similarity
+        # fold differ by ~1e-15, and this is the only float boundary in
+        # the oracle contract that was left unpinned.
+        hot = np.round(sims, 9) >= threshold
         hot[np.tril_indices(len(pdf))] = False
         dropped = hot.any(axis=0)
         return pd.DataFrame(

@@ -101,3 +101,33 @@ def test_delete_preserves_schema_and_slots():
     used_before = int((table != 0).sum()) + len(stash)
     assert used_before == len(keys)  # one slot per key, duplicates none
     assert table.dtype == np.uint16 and len(table) == m * _SLOTS
+
+
+def test_delete_stash_collision_removes_one_occurrence(spark):
+    """Two distinct URLs colliding on the same (i1, fp) stash key:
+    deleting one must consume exactly ONE stash slot, leaving the
+    sibling's entry (and its membership) intact. The old setdiff1d
+    form stripped ALL occurrences, turning the sibling into a false
+    negative — the one guarantee a cuckoo prefilter must never break."""
+    from fundamental_spark.crawl.cuckoo import CUCKOO_SCHEMA, _fp_i1_i2, _stash_key
+
+    m, f = 16, 12
+    h1, h2 = 244, 402  # found by search: same stash key at m=16
+    def sk_of(h: int) -> int:
+        fp, i1, _ = _fp_i1_i2(np.array([h], dtype=np.uint64), m, f)
+        return int(_stash_key(i1, fp)[0])
+
+    sk1, sk2 = sk_of(h1), sk_of(h2)
+    assert sk1 == sk2  # the collision premise
+    table = np.zeros(m * _SLOTS, dtype=np.uint16)
+    stash = np.array([sk1, sk2], dtype=np.uint64)
+    filt = spark.createDataFrame(
+        [(0, m, f, table.tobytes(), np.sort(stash).tobytes())], CUCKOO_SCHEMA
+    )
+    dels = spark.createDataFrame([(h1, 0)], "url_hash long, domain_shard int")
+    out = delete_keys(filt, dels).collect()[0]
+    remaining = np.frombuffer(out["stash"], dtype=np.uint64)
+    assert list(remaining) == [sk2]  # exactly one occurrence consumed
+    probe = spark.createDataFrame([(h2, 0)], "url_hash long, domain_shard int")
+    got = probe_cuckoo(probe, delete_keys(filt, dels)).collect()[0]
+    assert got["maybe_seen"]  # the sibling is still a member

@@ -516,3 +516,20 @@ def test_quality_lr_distills_the_repetition_gate(spark):
     # deterministic: a second fit reproduces every weight bit-for-bit
     again = quality_lr_fit(docs).collect()[0]
     assert tuple(out) == tuple(again)
+
+
+def test_mixture_sample_rate_zero_drops_source(spark):
+    """rate 0.0 means 'drop this source' — it must emit NOTHING. The
+    ungated sequence(0, ceil(0)-1) produced a DESCENDING [0, -1] whose
+    epoch -1 passed the integer-epoch gate, a phantom copy per row."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(str(i), "wiki" if i % 2 else "junk", "t") for i in range(100)],
+        "doc_id string, source string, text string",
+    )
+    out = mixture_sample(docs, {"wiki": 1.0, "junk": 0.0}).collect()
+    assert all(r["source"] == "wiki" for r in out)
+    assert len(out) == 50 and all(r["epoch"] == 0 for r in out)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"wiki": -0.5})
