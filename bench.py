@@ -71,7 +71,7 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def crawl_bench(spark, sf: float, cpus: int) -> dict:
+def crawl_bench(spark, sf: float, cpus: int, seen_backend: str = "bloom") -> dict:
     from fundamental_spark.crawl.runner import CrawlRunner
     from fundamental_spark.synth.site import build_site, spec_web_rows, web_rows
 
@@ -105,6 +105,7 @@ def crawl_bench(spark, sf: float, cpus: int) -> dict:
             web=web,
             spider_type="active",
             use_bloom=True,
+            seen_backend=seen_backend,
         )
         seeds = [(site.search_url(c, 1), c) for c in site.cities]
         m0 = _metrics_snapshot(spark)
@@ -180,6 +181,9 @@ HEADLINE_QUERIES = [
     "gopher_quality",
     "bm25_search",
     "quality_classifier",
+    # round 6 additions
+    "ann_ivfpq",
+    "lm_fluency_buckets_scale",
 ]
 
 

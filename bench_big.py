@@ -162,12 +162,237 @@ def scheduler_leg(spark, cpus: int) -> dict:
     return out
 
 
+def bpe_leg(spark, src_dir: str, n_merges: int = 1000, batch: int = 32) -> dict:
+    """Production-shape BPE: 1000 merges via the batched trainer
+    (round-5 verdict #3 'done' criterion). The sequential spec form is
+    one Spark round-trip PER MERGE (~0.3 s each — 1000 merges ≈ 5 min
+    of pure scheduling); the batched form learns up to ``batch``
+    disjoint merges per round-trip, so the same 1000 merges cost
+    ~n_merges/batch rounds. Reports achieved merges (conflict-starved
+    rounds may under-fill) and merges/sec."""
+    from pyspark.sql import functions as F
+
+    from fundamental_spark.operators.pipeline import bpe_train, bpe_train_batched
+
+    # the sf0.1 table has only 31 distinct words (fully merged by ~90
+    # rounds — data exhaustion, not an algorithm bound), so the leg
+    # derives a vocabulary-RICH corpus deterministically: 8 hex words
+    # of 8 chars per doc from chained md5(doc_id||i) — tens of
+    # thousands of unique words, >100k learnable merges, no RNG
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            *[
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id"), F.lit(str(i)))), 1, 8
+                )
+                for i in range(8)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    # production knobs: a wide candidate window (BPE's hottest pairs
+    # cluster around common symbols, so disjoint yield per window is
+    # limited) and an uncapped round budget — the loop stops when the
+    # merge target is reached or the vocabulary is exhausted
+    merges = bpe_train_batched(
+        docs, n_merges=n_merges, batch=batch,
+        candidates_factor=16, max_rounds=n_merges,
+    ).collect()
+    batched_sec = round(time.perf_counter() - t0, 2)
+    # sequential baseline at a SMALL merge count (the per-merge cost is
+    # flat — extrapolation documented rather than burned as wall-time)
+    t0 = time.perf_counter()
+    seq = bpe_train(docs, n_merges=24).collect()
+    seq24_sec = round(time.perf_counter() - t0, 2)
+    return {
+        "n_merges_requested": n_merges,
+        "n_merges_learned": len(merges),
+        "batch": batch,
+        "batched_sec": batched_sec,
+        "merges_per_sec": round(len(merges) / batched_sec, 1),
+        "sequential_24_merges_sec": seq24_sec,
+        "sequential_1000_extrapolated_sec": round(seq24_sec / len(seq) * n_merges, 1),
+    }
+
+
+def vectors_leg(spark, src_dir: str) -> dict:
+    """100×-shape stress for the two newest heavy vector ops (round-5
+    verdict #9): semdedup and PQ-ANN at 50k and 500k vectors — the
+    volumes where fixed job overhead stops dominating and the claimed
+    curves (semdedup O(Σn_c²) with cell count scaled ∝ n so cell SIZE
+    stays bounded — the paper's deployment shape — and the PQ ADC scan
+    O(n·m)) must show up as ~linear wall-time growth.
+
+    Corpus: sf0.1's 2k embeddings replicated deterministically (vec_id
+    offset + a replica-indexed perturbation of coordinate 0, so
+    replicas are distinct but the geometry — and therefore the
+    near-dup/cluster structure — replicates; no RNG)."""
+    from pyspark.sql import functions as F
+
+    from fundamental_spark.operators.similarity import pq_topk, semdedup
+
+    base = spark.read.parquet(f"{src_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    out: dict = {"n_base": n_base}
+    for label, reps, n_cents in (("50k", 25, 32), ("500k", 250, 256)):
+        corpus = (
+            base.crossJoin(
+                spark.range(reps).select(F.col("id").alias("rep"))
+            )
+            .select(
+                (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i == 0, x + (F.col("rep") % 97).cast("float") * F.lit(0.001)
+                    ).otherwise(x),
+                ).alias("embedding"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
+        n = corpus.count()
+        queries = corpus.filter(F.col("vec_id") < 10)
+        t0 = time.perf_counter()
+        n_dropped = (
+            semdedup(corpus, threshold=0.9, n_centroids=n_cents)
+            .filter(~F.col("kept"))
+            .count()
+        )
+        sem_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pq_rows = pq_topk(corpus, queries, k=5).count()
+        pq_sec = round(time.perf_counter() - t0, 2)
+        corpus.unpersist()
+        out[label] = {
+            "n_vectors": n,
+            "n_centroids": n_cents,
+            "semdedup_sec": sem_sec,
+            "semdedup_dropped": int(n_dropped),
+            "ann_pq_sec": pq_sec,
+            "ann_pq_rows": int(pq_rows),
+        }
+    out["semdedup_growth_10x"] = round(
+        out["500k"]["semdedup_sec"] / max(out["50k"]["semdedup_sec"], 1e-9), 2
+    )
+    out["ann_pq_growth_10x"] = round(
+        out["500k"]["ann_pq_sec"] / max(out["50k"]["ann_pq_sec"], 1e-9), 2
+    )
+    return out
+
+
+def seen_backend_leg(spark, cpus: int, with_crawl: bool = True) -> dict:
+    """Cuckoo vs bloom URL-seen prefilter at bench scale (round-5
+    verdict #8). Two sub-legs:
+
+    - crawl: the sf1.0 frontier crawled once per backend — identical
+      input, the prefilter is the ONLY difference → pages/s each.
+    - probe: a 2M-key seen set (64k keys/shard — the load regime where
+      the prefilter matters), probed by 180k truly-new + 20k seen
+      candidates → exact-join bypass rate = fraction of truly-new
+      candidates cleared WITHOUT the anti-join (1 − FP rate), plus the
+      refresh-re-queue path only cuckoo supports: delete 100k keys
+      (re-queued listings) and re-probe them — cuckoo returns them to
+      definitely-new (bypass again); a bloom answers "maybe" forever
+      and every future refresh of those URLs pays the exact join.
+    """
+    from pyspark.sql import functions as F
+
+    from fundamental_spark.crawl.bloom import build_bloom, probe_bloom
+    from fundamental_spark.crawl.canonical import DEFAULT_N_SHARDS, with_url_keys
+    from fundamental_spark.crawl.cuckoo import (
+        build_cuckoo,
+        delete_keys,
+        probe_cuckoo,
+    )
+
+    n_seen, n_new, n_probe_seen, n_del = 2_000_000, 180_000, 20_000, 100_000
+    keyed = with_url_keys(
+        spark.range(n_seen + n_new).select(
+            "id",
+            F.concat(
+                F.lit("https://www.funda.nl/detail/koop/city/huis-x-"), F.col("id"), F.lit("/")
+            ).alias("url"),
+        )
+    ).cache()
+    seen = keyed.filter(F.col("id") < n_seen)
+    cands = keyed.filter(
+        (F.col("id") >= n_seen) | (F.col("id") < n_probe_seen)
+    )
+    per_shard = max(1024, n_seen // DEFAULT_N_SHARDS)
+    out: dict = {"n_seen": n_seen, "n_new": n_new, "n_probe_seen": n_probe_seen}
+
+    def _rates(probed) -> tuple[float, int]:
+        r = probed.agg(
+            F.sum(
+                F.when((F.col("id") >= n_seen) & ~F.col("maybe_seen"), 1).otherwise(0)
+            ).alias("new_bypassed"),
+            F.sum(
+                F.when((F.col("id") < n_seen) & ~F.col("maybe_seen"), 1).otherwise(0)
+            ).alias("seen_missed"),
+        ).collect()[0]
+        return round(r["new_bypassed"] / n_new, 4), int(r["seen_missed"])
+
+    for backend in ("bloom", "cuckoo"):
+        t0 = time.perf_counter()
+        filt = (
+            build_bloom(seen, n_keys_per_shard=per_shard)
+            if backend == "bloom"
+            else build_cuckoo(seen, n_keys_per_shard=per_shard)
+        ).cache()
+        filt.count()
+        build_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        probed = (probe_bloom if backend == "bloom" else probe_cuckoo)(cands, filt)
+        bypass, missed = _rates(probed)
+        probe_sec = round(time.perf_counter() - t0, 2)
+        leg = {
+            "build_sec": build_sec,
+            "probe_sec": probe_sec,
+            "new_bypass_rate": bypass,  # anti-join avoided for this fraction
+            "seen_false_negatives": missed,  # exactness: must be 0
+        }
+        if backend == "cuckoo":
+            deletes = keyed.filter(F.col("id") < n_del)
+            t0 = time.perf_counter()
+            filt2 = delete_keys(filt, deletes).cache()
+            filt2.count()
+            leg["delete_sec"] = round(time.perf_counter() - t0, 2)
+            # re-probe the deleted keys: definitely-new again == bypass
+            reprobe = probe_cuckoo(deletes, filt2)
+            n_bypass = reprobe.filter(~F.col("maybe_seen")).count()
+            leg["deleted_bypass_rate"] = round(n_bypass / n_del, 4)
+            filt2.unpersist()
+        else:
+            # a bloom cannot delete: re-queued urls stay maybe-seen
+            leg["deleted_bypass_rate"] = 0.0
+        filt.unpersist()
+        out[backend] = leg
+    keyed.unpersist()
+
+    if with_crawl:
+        import bench
+
+        os.environ.setdefault("FS_BENCH_EXEC_RENDER", "1")
+        for backend in ("bloom", "cuckoo"):
+            c = bench.crawl_bench(spark, sf=1.0, cpus=cpus, seen_backend=backend)
+            out[backend]["crawl_pages_per_sec"] = c["pages_per_sec"]
+            out[backend]["crawl_seconds"] = c["seconds"]
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     crawl_only = "--crawl-only" in sys.argv
     dedup_only = "--dedup-only" in sys.argv
     scheduler_only = "--scheduler-only" in sys.argv
+    bpe_only = "--bpe-only" in sys.argv
+    seen_only = "--seen-only" in sys.argv
 
     from fundamental_spark.session import get_spark
 
@@ -181,6 +406,18 @@ def main() -> None:
 
     if scheduler_only:
         result["scheduler"] = scheduler_leg(spark, cpus)
+        print(json.dumps(result))
+        return
+    if bpe_only:
+        result["bpe"] = bpe_leg(spark, src_dir)
+        print(json.dumps(result))
+        return
+    if seen_only:
+        result["seen_backend"] = seen_backend_leg(spark, cpus)
+        print(json.dumps(result))
+        return
+    if "--vectors-only" in sys.argv:
+        result["vectors"] = vectors_leg(spark, src_dir)
         print(json.dumps(result))
         return
 

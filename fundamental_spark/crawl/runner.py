@@ -180,6 +180,15 @@ class CrawlRunner:
     # instead of O(#waves-ever). Amortized rewrite cost per wave is
     # O(table)/compact_every.
     compact_every: int = 64
+    # opt-in per-wave near-dup dedup: each wave's documents DELTA
+    # probes the STORED minhash band index maintained across waves
+    # (operators/dedup.minhash_probe_band_index — the production shape
+    # of dedup_minhash_incremental), appends verified pairs to
+    # 'neardup_pairs' and its own bands to 'neardup_bands'. Per-wave
+    # cost is O(delta), never O(corpus); off by default so the crawl
+    # headline bench is unaffected.
+    neardup_dedup: bool = False
+    neardup_threshold: float = 0.5
     n_shards: int = DEFAULT_N_SHARDS
     state_partitions: int = 4          # small-state snapshot files per commit
     wave: int = 0
@@ -270,6 +279,8 @@ class CrawlRunner:
         "refreshed_urls",
         "frontier_done",
         "response_cache",
+        "neardup_bands",
+        "neardup_pairs",
     )
 
     def _read(self, name: str) -> DataFrame:
@@ -362,6 +373,21 @@ class CrawlRunner:
             ("wave_metrics", spark.createDataFrame([], WAVE_METRICS_SCHEMA)),
             ("refreshed_urls", spark.createDataFrame([], REFRESHED_URLS_SCHEMA)),
         ]
+        if self.neardup_dedup:
+            inits += [
+                (
+                    "neardup_bands",
+                    spark.createDataFrame(
+                        [], "doc string, band_idx int, band_hash string"
+                    ),
+                ),
+                (
+                    "neardup_pairs",
+                    spark.createDataFrame(
+                        [], "doc_a string, doc_b string, jaccard double, wave int"
+                    ),
+                ),
+            ]
         if self.http_cache:
             cache0 = (
                 self.response_cache_seed.select("url", "html").withColumn(
@@ -382,6 +408,9 @@ class CrawlRunner:
             self.wh.drop(name)
         if not self.http_cache:
             self.wh.drop("response_cache")
+        if not self.neardup_dedup:
+            self.wh.drop("neardup_bands")
+            self.wh.drop("neardup_pairs")
         # ...and the scalar state a stale checkpoint may have restored
         # in __init__ (bloom sizing hint, AutoThrottle delay)
         self.seen_count = 0
@@ -883,6 +912,10 @@ class CrawlRunner:
         self.seen_count += n_new_total
         mark("snapshot_writes")
 
+        if self.neardup_dedup and self.mode != "refresh":
+            self._neardup_wave(wave)
+            mark("neardup")
+
         self.wave = wave
         self._commit_wave()
         # compact the delta tables that are re-read EVERY wave, up to the
@@ -897,6 +930,60 @@ class CrawlRunner:
         for df in (selected, fetched, parsed, new_cands, transitioned):
             df.unpersist()
         return True
+
+    @staticmethod
+    def _doc_text(docs: DataFrame) -> DataFrame:
+        """(doc_id, wave, text): a document's text = its text spans in
+        offset order, space-joined — the near-dup unit."""
+        return docs.select(
+            "doc_id",
+            "wave",
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                        lambda a, b: a["offset"] - b["offset"],
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    def _neardup_wave(self, wave: int) -> None:
+        """Dedup this wave's documents DELTA against the stored band
+        index — the minhash_probe_band_index production shape: the
+        probe side is O(wave docs), verification shingles only docs
+        appearing in a candidate pair, and the wave's own bands append
+        to the index for every future wave. Cumulative neardup_pairs
+        across waves provably equals the full-corpus minhash_lsh_pairs
+        set (pinned by test_crawl_neardup)."""
+        from ..operators.dedup import (
+            minhash_band_table,
+            minhash_probe_band_index,
+            plan_minhash_config,
+        )
+
+        cfg = plan_minhash_config(self.neardup_threshold)
+        k, bands = cfg if cfg is not None else (64, 16)
+        texts_all = self._doc_text(self._read_deltas("documents"))
+        delta = texts_all.filter(F.col("wave") == wave).select("doc_id", "text")
+        index = self._read_deltas("neardup_bands")
+        pairs = minhash_probe_band_index(
+            delta,
+            index,
+            texts_all.select("doc_id", "text"),
+            threshold=self.neardup_threshold,
+            k=k,
+            bands=bands,
+            allow_low_recall=cfg is None,
+        )
+        self._append_delta(
+            "neardup_pairs", pairs.withColumn("wave", F.lit(wave))
+        )
+        self._append_delta(
+            "neardup_bands", minhash_band_table(delta, k=k, bands=bands)
+        )
 
     def run(self, max_waves: int = 1000) -> int:
         """Drain the frontier; returns the number of waves executed."""

@@ -924,6 +924,23 @@ def minhash_incremental_pairs(
         )
         .distinct()
     )
+    return _verify_candidate_pairs(
+        cands, docs, threshold=threshold, n=n, id_col=id_col, text_col=text_col
+    )
+
+
+def _verify_candidate_pairs(
+    cands: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    shingle arrays are built ONLY for docs appearing in a candidate
+    (semi-join before the collect_list agg), so the verify cost is
+    O(candidate docs), never O(corpus)."""
     involved = (
         cands.select(F.col("doc_a").alias("doc"))
         .unionByName(cands.select(F.col("doc_b").alias("doc")))
@@ -963,6 +980,97 @@ def minhash_incremental_pairs(
     return (
         scored.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The STORED band index a delta-ingest pipeline maintains across
+    runs: (doc, band_idx, band_hash), one row per (doc, band). Built
+    with the same codegen signature agg as ``minhash_lsh_pairs`` —
+    one 65-value row per doc crosses the exchange, never the shingle
+    table. Persist this table once; every future ingest probes it with
+    ``minhash_probe_band_index`` and appends its own delta's rows."""
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    band_cols = [
+        F.concat_ws("-", *[F.col(f"mh{band * r + j}") for j in range(r)]).alias(
+            f"band{band}"
+        )
+        for band in range(bands)
+    ]
+    return sigs.select("doc", *band_cols).select(
+        "doc",
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
+def minhash_probe_band_index(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    texts: DataFrame,
+    threshold: float = 0.1,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    allow_low_recall: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe a STORED band index with an ingest delta — the production
+    sibling of ``minhash_incremental_pairs`` (which derives its index
+    in-plan): near-dup pairs touching ``new_docs``, against both the
+    persisted ``band_index`` (prior ingests) and the delta itself
+    (same-ingest pairs). ``texts`` must cover (id_col, text_col) for
+    every doc that can appear in a pair — typically the cumulative
+    documents table; verification shingles only the candidate docs.
+
+    Invariant (pinned by test): running ingests through this probe and
+    unioning the outputs reproduces EXACTLY the full-corpus
+    ``minhash_lsh_pairs`` set — a pair is caught by the ingest that
+    completes it, and only that one (earlier docs sit in the index,
+    same-ingest pairs canonicalize + distinct)."""
+    if not allow_low_recall:
+        cap = minhash_capture_prob(threshold, k, bands)
+        if cap < 0.9:
+            raise ValueError(
+                f"MinHash config k={k} bands={bands} captures only "
+                f"{cap:.2f} of pairs at jaccard {threshold}; pass "
+                f"allow_low_recall=True to run it anyway"
+            )
+    par = new_docs.sparkSession.sparkContext.defaultParallelism
+    new_bands = minhash_band_table(
+        new_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
+    ).repartition(par)  # AQE-collapse guard before the expanding join
+    index_all = band_index.select("doc", "band_idx", "band_hash").unionByName(
+        new_bands
+    )
+    x = new_bands.alias("x")
+    y = index_all.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc") != F.col("y.doc")),
+        )
+        .select(
+            F.least(F.col("x.doc"), F.col("y.doc")).alias("doc_a"),
+            F.greatest(F.col("x.doc"), F.col("y.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_candidate_pairs(
+        cands, texts, threshold=threshold, n=n, id_col=id_col, text_col=text_col
     )
 
 

@@ -585,28 +585,70 @@ def lm_fluency_buckets(
     n_buckets: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "ntile",
 ) -> DataFrame:
-    """CCNet head/middle/tail bucketing: NTILE(n) over fluency within
-    each LANGUAGE (CCNet buckets per language, never globally — the
-    partitioned window is also what keeps the sort parallel: one
-    language never serializes the corpus). Order is (score_ppm DESC,
-    doc_id) — integer keys, so the tercile boundaries are engine-exact.
+    """CCNet head/middle/tail bucketing over per-language fluency, in
+    two modes with identical output schema (doc_id, lang, n_bigrams,
+    score_ppm, bucket, bucket_name):
 
-    At 100 TB the per-language sort is the scaling ceiling of the
-    exact form; the deployment path replaces NTILE with bucket-by-
-    comparison against approx-quantile cutoffs (two scans, no global
-    sort) and accepts boundary fuzz — this exact form is the oracle
-    that validates it. Returns (doc_id, lang, n_bigrams, score_ppm,
-    bucket, bucket_name)."""
+    - ``mode='ntile'`` — the SPEC form: NTILE(n) over (score_ppm DESC,
+      doc_id) within each language. Exact and tie-splitting, but each
+      language partition is a single-task sort over that language's
+      whole corpus — with a handful of languages this is a genuine
+      scale-killer at 100 TB. Keep it as the small-scale oracle twin.
+
+    - ``mode='quantile'`` — the SCALE form (bucket-by-comparison, no
+      corpus sort anywhere): score_ppm lives in the bounded integer
+      domain [0, 1e6], so an exact per-(lang, score) HISTOGRAM — at
+      most 1e6+1 rows per language regardless of corpus size — gives
+      exact bucket boundaries. bucket = 1 + (rank_hi·n) div N where
+      rank_hi = #docs in the language scoring strictly higher and N =
+      language total; this closed form reproduces NTILE's
+      ceil-first-buckets split exactly (sizes: first N mod n buckets
+      take ⌈N/n⌉). The only Window runs over the aggregated histogram,
+      and the bucket map joins back BROADCAST — corpus rows are never
+      sorted or re-shuffled for the bucketing (plan-gated). Deviation
+      contract: score ties collapse into the bucket of their first
+      tied rank (comparison on score alone cannot split a tie NTILE
+      would); equals the ntile form wherever no tie crosses a tercile
+      boundary — pinned by test on a tie-free fixture."""
+    if mode not in ("ntile", "quantile"):
+        raise ValueError(f"mode must be 'ntile' or 'quantile', got {mode!r}")
     scored = lm_fluency(docs, id_col=id_col, text_col=text_col)
-    w = Window.partitionBy("lang").orderBy(F.desc("score_ppm"), F.asc(id_col))
     named = (
         F.when(F.col("bucket") == 1, "head")
         .when(F.col("bucket") == n_buckets, "tail")
         .otherwise("middle")
     )
-    return scored.withColumn("bucket", F.ntile(n_buckets).over(w)).withColumn(
-        "bucket_name", named
+    if mode == "ntile":
+        w = Window.partitionBy("lang").orderBy(F.desc("score_ppm"), F.asc(id_col))
+        return scored.withColumn("bucket", F.ntile(n_buckets).over(w)).withColumn(
+            "bucket_name", named
+        )
+    hist = scored.groupBy("lang", "score_ppm").agg(F.count("*").alias("c"))
+    hw = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score_ppm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nw = Window.partitionBy("lang")
+    bucket_map = hist.select(
+        "lang",
+        "score_ppm",
+        (F.sum("c").over(hw) - F.col("c")).alias("rank_hi"),
+        F.sum("c").over(nw).alias("n_lang"),
+    ).select(
+        "lang",
+        "score_ppm",
+        (
+            F.lit(1)
+            + F.expr(f"(rank_hi * {int(n_buckets)}) div n_lang")
+        ).cast("int").alias("bucket"),
+    )
+    return (
+        scored.join(F.broadcast(bucket_map), ["lang", "score_ppm"])
+        .withColumn("bucket_name", named)
+        .select(id_col, "lang", "n_bigrams", "score_ppm", "bucket", "bucket_name")
     )
 
 
@@ -854,6 +896,125 @@ def bpe_train(
             "word", "freq", F.expr("replace(enc, {}, {})".format(
                 _sql_str(pat), _sql_str(rep)
             )).alias("enc"),
+        ).localCheckpoint(eager=False)
+    merges_df = docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+    if return_vocab:
+        return merges_df, vocab
+    return merges_df
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 12,
+    batch: int = 4,
+    candidates_factor: int = 4,
+    max_rounds: int | None = None,
+    text_col: str = "text",
+    return_vocab: bool = False,
+):
+    """Batched BPE training — the standard distributed-BPE trick that
+    makes 30k-merge production runs feasible: per round, learn up to
+    ``batch`` MUTUALLY-DISJOINT pairs (no shared symbol) instead of
+    one, so the sequential form's O(n_merges) Spark round-trips become
+    O(n_merges/batch). Disjointness is what makes the batch exact:
+    merging (a,b) only perturbs adjacencies TOUCHING a or b, so every
+    disjoint pair's count — and its replace() application — is
+    invariant under the others; the batch is order-independent and
+    each selected pair carries the same count it would sequentially.
+
+    Deterministic selection contract (mirrored verbatim by the DuckDB
+    oracle): rank all pairs by (count DESC, lhs, rhs); restrict to the
+    top ``candidates_factor·batch`` candidate window; greedily take
+    the best candidate disjoint from everything already taken this
+    round, up to min(batch, merges still needed). With the default
+    ``max_rounds=None`` the schedule is FIXED at ceil(n_merges/batch)
+    rounds: a conflict-starved round under-fills rather than extending
+    (keeps the unrolled oracle's round count static), so the result
+    may carry fewer than ``n_merges`` merges. Production runs pass
+    ``max_rounds`` higher — BPE's hottest pairs cluster around common
+    symbols (measured ~3 disjoint picks per 128-candidate window at
+    sf0.1), so hitting the merge target takes more rounds than the
+    minimum; each extra round is still ONE Spark round-trip for up to
+    ``batch`` merges, and the loop stops early once ``n_merges`` are
+    learned or the vocabulary is exhausted.
+
+    Deviation contract vs ``bpe_train``: at batch=1 the two are
+    IDENTICAL (pinned by test). At batch>1 the learned sequence can
+    diverge whenever sequential BPE's next-best pair would involve a
+    symbol CREATED earlier in the same round (e.g. (t,h) then (th,e))
+    — batching defers such dependent merges to the next round; counts
+    of the pairs actually chosen are exact either way."""
+    from .dedup import spread
+
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    enc0 = F.regexp_replace(
+        F.regexp_replace(F.col("word"), f"[{_BPE_L}{_BPE_R}]", ""),
+        "(.)",
+        _BPE_L + "$1" + _BPE_R,
+    )
+    vocab = (
+        spread(docs)
+        .select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", enc0.alias("enc"))
+        .localCheckpoint(eager=True)
+    )
+    sep = _BPE_R + _BPE_L
+    syms = F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep)
+    pair_expr = F.expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), "
+        "(a, b) -> struct(a, b))"
+    )
+    import math as _math
+
+    merges: list[tuple[int, str, str, int]] = []
+    n_rounds = (
+        max_rounds if max_rounds is not None else _math.ceil(n_merges / batch)
+    )
+    for _ in range(n_rounds):
+        need = min(batch, n_merges - len(merges))
+        if need <= 0:
+            break
+        window_k = candidates_factor * batch
+        cand = (
+            vocab.select("freq", syms.alias("s"))
+            .select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(window_k)
+            .collect()
+        )
+        if not cand:
+            break
+        picked: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in cand:
+            if len(picked) >= need:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used:
+                continue
+            picked.append((a, b, int(r["c"])))
+            used.update((a, b))
+        if not picked:
+            break
+        # all of this round's replaces nest into ONE projection — the
+        # whole batch costs one pass over the vocab (order irrelevant
+        # by disjointness; applied in selection order on both engines)
+        enc_col = F.col("enc")
+        for a, b, c in picked:
+            merges.append((len(merges) + 1, a, b, c))
+            pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+            rep = _BPE_L + a + b + _BPE_R
+            enc_col = F.call_function("replace", enc_col, F.lit(pat), F.lit(rep))
+        vocab = vocab.select(
+            "word", "freq", enc_col.alias("enc")
         ).localCheckpoint(eager=False)
     merges_df = docs.sparkSession.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"

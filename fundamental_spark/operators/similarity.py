@@ -991,6 +991,121 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_assign: int = 2,
+    kmeans_iters: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed ANN — the FAISS IVFADC layout actually deployed
+    at 10^9+ vectors (Jégou et al. 2011 §V): IVF cells give SUB-LINEAR
+    candidate generation (each query scans ~n_probe·n_assign/
+    n_centroids of the corpus), PQ codes make that scan read m bytes
+    per row instead of the raw vector (32× at the defaults), and an
+    exact re-rank of the ADC top-``rerank`` restores quality. Deviation
+    from FAISS noted: codes encode the unit vector itself, not the
+    cell residual — identical to the registered ``ann_pq`` encoding so
+    one code column serves both layouts (residual PQ would need one
+    codebook set per probe arrangement to stay oracle-checkable).
+
+    Plan shape: corpus vectors are encoded ONCE (codes + cell list,
+    both deterministic), queries broadcast with their precomputed LUT,
+    the ADC scan joins codes⋈queries on cell (never a cross join), and
+    only q·rerank candidate rows ever touch a real vector again. All
+    arithmetic rides the same sequential-fold/1e-9-grid primitives the
+    ann_ivf/ann_pq oracles proved bit-equal across engines, so the
+    composition carries a full DuckDB oracle too."""
+    cents = kmeans_centroids(
+        corpus, n_centroids=n_centroids, n_iters=kmeans_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cb = pq_codebooks(
+        corpus, m=m, ksub=ksub, n_iters=pq_iters, id_col=id_col, vec_col=vec_col
+    )
+    dsub = len(cb[0][0])
+    cu = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit_vec(F.col(vec_col)).alias("u"),
+        _nearest_cells_col(cents, vec_col, n_assign).alias("cells"),
+    )
+    # encode first, THEN explode the cell list: a generator in the same
+    # projection as the struct-array argmax strips struct aliases
+    # during analysis (see kmeans_centroids), and the m code columns
+    # must be computed once per vector, not once per (vector, cell)
+    codes = cu.select(
+        "neighbor_id",
+        "cells",
+        *[
+            _pq_argmin_code("u", s, dsub, cb[s]).alias(f"code_{s}")
+            for s in range(m)
+        ],
+    ).select(
+        "neighbor_id",
+        F.explode("cells").alias("cell"),
+        *[f"code_{s}" for s in range(m)],
+    )
+    qu = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv_raw"),
+        _unit_vec(F.col(vec_col)).alias("qu"),
+        _nearest_cells_col(cents, vec_col, n_probe).alias("qcells"),
+    )
+    lut_sql = "array(" + ", ".join(
+        _sql_dot(f"slice(`qu`, {s * dsub + 1}, {dsub})", cb[s][j])
+        for s in range(m)
+        for j in range(ksub)
+    ) + ")"
+    qlut = qu.select(
+        "query_id",
+        "qv_raw",
+        F.expr(lut_sql).alias("lut"),
+        F.explode("qcells").alias("cell"),
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"), F.lit(s * ksub) + F.col(f"code_{s}") + 1
+        )
+        score = term if score is None else score + term
+    # a pair can meet through several shared cells under
+    # multi-assignment — its code/LUT values are identical on every
+    # meeting, so dedup before scoring is value-deterministic
+    adc = (
+        codes.join(F.broadcast(qlut), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", "qv_raw", score.alias("score"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    cand = adc.withColumn("arank", F.row_number().over(aw)).filter(
+        F.col("arank") <= rerank
+    )
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv_raw")
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv_raw"), F.col("cv_raw")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 def embedding_outliers(
     emb: DataFrame,
     k: int = 5,

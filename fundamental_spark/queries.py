@@ -1703,6 +1703,165 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF+PQ composed oracle (FAISS IVFADC): the _ivf_cents_cte rounds give
+# the cells, a renamed copy of the _pq_cte training rounds gives the
+# codebooks (pq* prefixes — DuckDB WITH can't bind a{t}/m{t}/mv{t}
+# twice), and the ADC scan is RESTRICTED to pairs meeting through a
+# probed cell before the rerank cut. Kept separate from _pq_cte rather
+# than parameterizing it so the two long-green ann_pq oracles stay
+# byte-identical.
+def _ivfpq_cte(
+    n_centroids: int = 16, ivf_iters: int = 3, n_assign: int = 2,
+    n_probe: int = 2, m: int = 8, ksub: int = 16, pq_iters: int = 2,
+    dsub: int = 8, rerank: int = 50,
+) -> str:
+    parts = [_ivf_cents_cte(n_centroids, ivf_iters)]
+    parts.append(f""",
+    cass AS (SELECT vec_id AS neighbor_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                                  c.cell DESC) AS rn
+               FROM e CROSS JOIN c{ivf_iters} c) WHERE rn <= {n_assign}),
+    qass AS (SELECT vec_id AS query_id, cell FROM (
+               SELECT e.vec_id, c.cell,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                                  c.cell DESC) AS rn
+               FROM e CROSS JOIN c{ivf_iters} c
+               WHERE e.vec_id < 10) WHERE rn <= {n_probe}),
+    cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+             FROM qass q JOIN cass c ON c.cell = q.cell
+              AND c.neighbor_id <> q.query_id),
+    eu AS (SELECT vec_id, v,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+           FROM e),
+    pqseed AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, u
+               FROM (SELECT vec_id, u FROM eu ORDER BY vec_id LIMIT {ksub})),
+    cb0 AS (SELECT s.generate_series AS s, r.j AS c,
+                   array_slice(r.u, s.generate_series*{dsub} + 1,
+                               s.generate_series*{dsub} + {dsub}) AS cv
+            FROM pqseed r CROSS JOIN generate_series(0, {m - 1}) s)""")
+    assign = f"""SELECT e.vec_id, c.s, c.c AS cell,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
+                        ORDER BY ((-2.0) * list_dot_product(
+                                    array_slice(e.u, c.s*{dsub} + 1, c.s*{dsub} + {dsub}), c.cv)
+                                  + list_dot_product(c.cv, c.cv)) ASC, c.c ASC) AS rn
+               FROM eu e CROSS JOIN cb{{t}} c"""
+    for t in range(1, pq_iters + 1):
+        parts.append(f""",
+    pqa{t} AS (SELECT vec_id, s, cell FROM (
+               {assign.format(t=t - 1)}) WHERE rn = 1),
+    pqm{t} AS (SELECT a.s, a.cell, p.generate_series AS pos,
+                    ROUND(AVG(e.u[a.s*{dsub} + p.generate_series]), 9) AS mc
+             FROM pqa{t} a JOIN eu e USING (vec_id)
+             CROSS JOIN generate_series(1, {dsub}) p
+             GROUP BY 1, 2, 3),
+    pqmv{t} AS (SELECT s, cell, list(mc ORDER BY pos) AS mv FROM pqm{t} GROUP BY 1, 2),
+    cb{t} AS (SELECT c.s, c.c, COALESCE(n.mv, c.cv) AS cv
+              FROM cb{t - 1} c LEFT JOIN pqmv{t} n ON n.s = c.s AND n.cell = c.c)""")
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN cell END) AS code_{s}" for s in range(m)
+    )
+    score_chain = " + ".join(
+        f"l.lut[{s * ksub} + x.code_{s} + 1]" for s in range(m)
+    )
+    parts.append(f""",
+    af AS (SELECT vec_id, s, cell FROM (
+               {assign.format(t=pq_iters)}) WHERE rn = 1),
+    codesw AS (SELECT vec_id, {code_cols} FROM af GROUP BY 1),
+    ipt AS (SELECT q.vec_id AS query_id, c.s, c.c,
+                   list_dot_product(
+                     array_slice(q.u, c.s*{dsub} + 1, c.s*{dsub} + {dsub}), c.cv) AS ip
+            FROM eu q CROSS JOIN cb{pq_iters} c WHERE q.vec_id < 10),
+    qlut AS (SELECT query_id, list(ip ORDER BY s, c) AS lut FROM ipt GROUP BY 1),
+    adc AS (SELECT l.query_id, x.vec_id AS neighbor_id, {score_chain} AS score
+            FROM cand cd
+            JOIN codesw x ON x.vec_id = cd.neighbor_id
+            JOIN qlut l ON l.query_id = cd.query_id),
+    pq_cand AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS arank
+               FROM adc) WHERE arank <= {rerank}),
+    pq_scored AS (SELECT c.query_id, c.neighbor_id,
+                         list_cosine_similarity(q.v, n.v) AS cos_raw
+                  FROM pq_cand c
+                  JOIN e q ON q.vec_id = c.query_id
+                  JOIN e n ON n.vec_id = c.neighbor_id),
+    pq_ranked AS (SELECT query_id, neighbor_id, cos_raw,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+                  FROM pq_scored)""")
+    return "".join(parts)
+
+
+@q(
+    "ann_ivfpq",
+    _ivfpq_cte()
+    + """
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos
+    FROM pq_ranked WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (the FAISS IVFADC layout deployed at 10^9+
+    vectors): IVF cells prune the candidate set sub-linearly, the ADC
+    scan over those candidates reads m=8-byte codes instead of raw
+    vectors, and an exact re-rank of the top-50 restores quality.
+    Fully oracle-checked — DuckDB re-derives BOTH deterministic
+    trainings (Lloyd cell rounds + per-subspace codebook rounds), the
+    cell-restricted ADC cut, and the exact re-rank."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=50)
+
+
+@q(
+    "ann_ivfpq_recall",
+    _ivfpq_cte()
+    + """,
+    ivfpq AS (SELECT query_id, neighbor_id FROM pq_ranked WHERE rank <= 5),
+    bf_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.v, c.v) AS cos_raw
+                  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 10),
+    bf AS (SELECT query_id, neighbor_id
+           FROM (SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_raw DESC, neighbor_id) AS rank
+                 FROM bf_scored)
+           WHERE rank <= 5),
+    stats AS (SELECT (SELECT COUNT(*) FROM bf) AS n_exact,
+                     (SELECT COUNT(*) FROM bf
+                      JOIN ivfpq USING (query_id, neighbor_id)) AS n_hit)
+    SELECT n_exact, n_hit, ROUND(n_hit / n_exact, 4) AS recall_at_5 FROM stats
+    """,
+)
+def ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF+PQ path vs exact brute force — the
+    number that shows what the DOUBLE approximation (cell pruning AND
+    code compression) costs together, kept measured rather than hidden
+    like its ann_ivf_recall / ann_pq_recall siblings."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(emb, queries_df, k=5, rerank=50).select(
+        "query_id", "neighbor_id"
+    )
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        hit.agg(F.count("*").alias("n_hit"))
+    ).select(
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_5"),
+    )
+
+
 @q(
     "semdedup_stats",
     _ivf_cents_cte()
@@ -2102,9 +2261,10 @@ def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(T(spark, sf_dir, "documents"), k=8, min_len=12)
 
 
-@q(
-    "lm_fluency_buckets",
-    """
+# shared fluency-scoring CTE (corpus-trained bigram LM, integer-ppm):
+# used by BOTH lm_fluency_buckets (NTILE spec form) and
+# lm_fluency_buckets_scale (histogram bucket-by-comparison scale form)
+_FLUENCY_SCORED_CTE = """
     WITH arr AS (SELECT doc_id, lang,
                         string_split_regex(trim(text), '\\s+') AS a
                  FROM documents),
@@ -2123,7 +2283,13 @@ def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams, SUM(q) AS s
            FROM qv GROUP BY doc_id, lang),
     scored AS (SELECT doc_id, lang, n_bigrams,
-                      CAST(s // n_bigrams AS BIGINT) AS score_ppm FROM sc),
+                      CAST(s // n_bigrams AS BIGINT) AS score_ppm FROM sc)"""
+
+
+@q(
+    "lm_fluency_buckets",
+    _FLUENCY_SCORED_CTE
+    + """,
     nt AS (SELECT *,
                   CAST(NTILE(3) OVER (PARTITION BY lang
                                       ORDER BY score_ppm DESC, doc_id)
@@ -2140,8 +2306,45 @@ def lm_fluency_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language fluency buckets under a corpus-trained
     bigram LM (Wenzek et al. 2020). Integer-exact scoring (ppm floor)
     so no float crosses an aggregation; NTILE partitioned by lang (the
-    CCNet semantics AND what keeps the sort parallel)."""
+    CCNet semantics). SPEC form — its per-language single-task sort is
+    the scale ceiling; lm_fluency_buckets_scale is the deployment
+    path."""
     return lm_fluency_buckets(T(spark, sf_dir, "documents"), n_buckets=3)
+
+
+@q(
+    "lm_fluency_buckets_scale",
+    _FLUENCY_SCORED_CTE
+    + """,
+    hist AS (SELECT lang, score_ppm, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+    hb AS (SELECT lang, score_ppm,
+                  SUM(c) OVER (PARTITION BY lang ORDER BY score_ppm DESC
+                               ROWS UNBOUNDED PRECEDING) - c AS rank_hi,
+                  SUM(c) OVER (PARTITION BY lang) AS n_lang
+           FROM hist),
+    bm AS (SELECT lang, score_ppm,
+                  CAST(1 + (rank_hi * 3) // n_lang AS INTEGER) AS bucket
+           FROM hb)
+    SELECT s.doc_id, s.lang, s.n_bigrams, s.score_ppm, b.bucket,
+           CASE WHEN b.bucket = 1 THEN 'head'
+                WHEN b.bucket = 3 THEN 'tail'
+                ELSE 'middle' END AS bucket_name
+    FROM scored s JOIN bm b ON b.lang = s.lang AND b.score_ppm = s.score_ppm
+    """,
+)
+def lm_fluency_buckets_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-form CCNet bucketing (quantile mode): exact per-language
+    bucket boundaries from the BOUNDED (lang, score_ppm) histogram —
+    score_ppm's integer domain is [0, 1e6], so the histogram is at
+    most 1e6+1 rows per language no matter the corpus size — with the
+    bucket map broadcast-joined back. No corpus-sized sort or window
+    anywhere (plan-gated in tests/test_plan_quality.py); ties collapse
+    into the bucket of their first tied rank (documented deviation
+    from the NTILE spec form, equal wherever no tie crosses a
+    boundary)."""
+    return lm_fluency_buckets(
+        T(spark, sf_dir, "documents"), n_buckets=3, mode="quantile"
+    )
 
 
 @q(
@@ -2293,6 +2496,94 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pipeline import bpe_train
 
     return bpe_train(T(spark, sf_dir, "documents"), n_merges=12)
+
+
+def _bpe_batched_oracle(n_merges: int, batch: int, window_k: int) -> str:
+    """Unrolled BATCHED BPE rounds: per round, rank pairs (count DESC,
+    lhs, rhs), restrict to the top-``window_k`` candidate window, then
+    greedy-select up to ``batch`` mutually-disjoint pairs as ``batch``
+    chained scalar CTE steps (sel_k = best candidate sharing no symbol
+    with sel_1..sel_{k-1} — identical to the operator's rank-order
+    conflict-skip scan). Data-dependent under-fill is handled with
+    COALESCE no-op replace patterns (chr(30)||chr(31) = an empty
+    symbol, impossible in any encoding). Requires batch | n_merges so
+    every round wants exactly ``batch`` picks (matches the operator's
+    fixed-round schedule)."""
+    assert n_merges % batch == 0, "oracle form requires batch | n_merges"
+    n_rounds = n_merges // batch
+    noop = "chr(30)||chr(31)"
+    parts = ["""
+    WITH w AS MATERIALIZED (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents),
+    v AS MATERIALIZED (
+      SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+    encB0 AS MATERIALIZED (
+      SELECT word, freq,
+             regexp_replace(replace(replace(word, chr(30), ''), chr(31), ''),
+                            '(.)', chr(30) || '\\1' || chr(31), 'g') AS enc
+      FROM v)"""]
+    for r in range(1, n_rounds + 1):
+        prev = f"encB{r - 1}"
+        parts.append(f""",
+    symsB{r} AS MATERIALIZED (
+      SELECT freq, string_split(substr(enc, 2, length(enc) - 2),
+                                chr(31) || chr(30)) AS s FROM {prev}),
+    candB{r} AS MATERIALIZED (
+      SELECT lhs, rhs, c, ROW_NUMBER() OVER (ORDER BY c DESC, lhs, rhs) AS rn
+      FROM (SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS c
+            FROM symsB{r}, UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+            GROUP BY 1, 2)
+      QUALIFY rn <= {window_k})""")
+        for k in range(1, batch + 1):
+            if k == 1:
+                parts.append(f""",
+    selB{r}_1 AS MATERIALIZED (
+      SELECT lhs, rhs, c FROM candB{r} ORDER BY rn LIMIT 1)""")
+            else:
+                taken = " UNION ALL ".join(
+                    f"SELECT lhs, rhs FROM selB{r}_{j}" for j in range(1, k)
+                )
+                parts.append(f""",
+    selB{r}_{k} AS MATERIALIZED (
+      SELECT lhs, rhs, c FROM candB{r} p
+      WHERE NOT EXISTS (SELECT 1 FROM ({taken}) s
+                        WHERE s.lhs IN (p.lhs, p.rhs)
+                           OR s.rhs IN (p.lhs, p.rhs))
+      ORDER BY rn LIMIT 1)""")
+        enc_expr = "enc"
+        for k in range(1, batch + 1):
+            pat = (f"COALESCE((SELECT chr(30)||lhs||chr(31)||chr(30)||rhs||chr(31) "
+                   f"FROM selB{r}_{k}), {noop})")
+            rep = (f"COALESCE((SELECT chr(30)||lhs||rhs||chr(31) "
+                   f"FROM selB{r}_{k}), {noop})")
+            enc_expr = f"replace({enc_expr}, {pat}, {rep})"
+        parts.append(f""",
+    encB{r} AS MATERIALIZED (
+      SELECT word, freq, {enc_expr} AS enc FROM {prev})""")
+    all_picked = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, {k} AS k, lhs, rhs, c FROM selB{r}_{k}"
+        for r in range(1, n_rounds + 1)
+        for k in range(1, batch + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, k) AS INTEGER) AS merge_rank,
+           lhs, rhs, c AS pair_count
+    FROM ({all_picked})""")
+    return "".join(parts)
+
+
+@q("bpe_merges_batched", _bpe_batched_oracle(12, 4, 16))
+def bpe_merges_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (the 30k-merge production shape): 12
+    merges in 3 rounds of up to 4 mutually-disjoint pairs — one Spark
+    pair-count round-trip per ROUND instead of per merge. Disjointness
+    keeps each picked pair's count exactly its sequential value; the
+    oracle re-runs the full rank-window-greedy selection as unrolled
+    CTE steps."""
+    from .operators.pipeline import bpe_train_batched
+
+    return bpe_train_batched(T(spark, sf_dir, "documents"), n_merges=12, batch=4)
 
 
 @q("bpe_token_stats", _bpe_token_stats_oracle(12))

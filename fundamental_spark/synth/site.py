@@ -82,6 +82,10 @@ class Listing:
     energy_in_jsonld: bool = False  # P1 middle stage: label ONLY in the JSON-LD blob
     price_comma_fmt: bool = False  # P3: '€ 1,250,000' (comma thousands) in the dd text
     date_in_jsonld: bool = True  # else only 'Aangeboden sinds' Dutch date
+    # description-stream seed override: a clone listing shares its
+    # source's seed so the rendered description text is IDENTICAL —
+    # the deterministic near-dup fixture for the crawl dedup hook
+    desc_seed_id: int | None = None
 
     @property
     def listing_date(self) -> str:
@@ -279,7 +283,7 @@ _SPEC_FIELDS = (
     "year_built", "energy_label", "listing_date_ord", "status",
     "selling_date_ord", "price_in_jsonld", "area_in_jsonld", "energy_in_dd",
     "energy_in_jsonld", "price_comma_fmt",
-    "date_in_jsonld",
+    "date_in_jsonld", "desc_seed_id",
 )
 
 
@@ -295,9 +299,8 @@ def render_from_spec(spec_json: str) -> str:
     seed = d.pop("seed")
     desc_words = d.pop("description_words")
     l = Listing(**d)
-    return render_detail_html(
-        random.Random(seed * 1_000_003 + l.listing_id), l, desc_words
-    )
+    sid = l.desc_seed_id if l.desc_seed_id is not None else l.listing_id
+    return render_detail_html(random.Random(seed * 1_000_003 + sid), l, desc_words)
 
 
 def spec_web_rows(
@@ -331,6 +334,7 @@ def build_site(
     blocked_listing_every: int = 0,
     blocked_search_pages: tuple[int, ...] = (),
     project_urls_per_city: int = 0,
+    clone_every: int = 0,
 ) -> SyntheticSite:
     """Build the deterministic site. ``empty_tail_pages`` appends pages with
     zero listings after the real ones (exercises the 3-empty-pages stop,
@@ -342,7 +346,13 @@ def build_site(
     every Nth listing's detail page with the bot interstitial;
     ``project_urls_per_city`` appends '/koop/<city>/project-…' URLs (no
     '/detail/' segment) to page 1 — visible to the refresh pass's looser
-    '/koop/' filter but invisible to the crawl's '/detail/koop/'."""
+    '/koop/' filter but invisible to the crawl's '/detail/koop/'.
+    ``clone_every`` turns every Nth listing per city into a field-clone
+    of the listing generated just before it (own url/listing_id, same
+    content fields AND the same description word stream via
+    desc_seed_id) — deterministic jaccard≈1 near-dup pairs for the
+    crawl dedup hook; 0 disables and leaves all rng streams
+    untouched."""
     rng = random.Random(seed)
     site = SyntheticSite(seed=seed, cities=list(cities), page_size=page_size)
     lid = 0
@@ -382,6 +392,14 @@ def build_site(
                 energy_in_jsonld=0.25 < x_energy <= 0.45,
                 date_in_jsonld=rng.random() > 0.3,
             )
+            if clone_every and i % clone_every == clone_every - 1 and city_listings:
+                src = city_listings[-1]
+                for fname in _SPEC_FIELDS:
+                    if fname not in ("listing_id", "city", "url"):
+                        setattr(listing, fname, getattr(src, fname))
+                listing.desc_seed_id = (
+                    src.desc_seed_id if src.desc_seed_id is not None else src.listing_id
+                )
             city_listings.append(listing)
             site.listings.append(listing)
         # sort=date_down: newest first, id tiebreak (deterministic)
@@ -423,7 +441,12 @@ def build_site(
                     BLOCKED_HTML
                     if blocked
                     else render_detail_html(
-                        random.Random(seed * 1_000_003 + l.listing_id), l, description_words
+                        random.Random(
+                            seed * 1_000_003
+                            + (l.desc_seed_id if l.desc_seed_id is not None else l.listing_id)
+                        ),
+                        l,
+                        description_words,
                     )
                 )
     return site

@@ -533,3 +533,52 @@ def test_mixture_sample_rate_zero_drops_source(spark):
     assert len(out) == 50 and all(r["epoch"] == 0 for r in out)
     with pytest.raises(ValueError):
         mixture_sample(docs, {"wiki": -0.5})
+
+
+def test_bpe_batched_equals_sequential_at_batch1(spark):
+    """batch=1 must reproduce bpe_train EXACTLY (ranks, pairs, counts)
+    — the sequential-equivalence pin for the batched trainer."""
+    from fundamental_spark.operators.pipeline import bpe_train, bpe_train_batched
+
+    docs = spark.createDataFrame(
+        [("d1", "low lower lowest low low"), ("d2", "new newer newest new"),
+         ("d3", "wide wider widest wide low")],
+        "doc_id string, text string",
+    )
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=8).collect()]
+    b1 = [tuple(r) for r in bpe_train_batched(docs, n_merges=8, batch=1).collect()]
+    assert seq == b1
+
+
+def test_bpe_batched_disjoint_and_counts_exact(spark):
+    """batch>1: every round's picks are mutually symbol-disjoint (the
+    invariant that makes a batch order-independent and its counts
+    exact w.r.t. the round-start encoding), and on this deterministic
+    fixture every pair shared with the sequential trainer carries the
+    identical count (disjoint picks leave each other's counts
+    untouched; a cross-trainer count shift would mean the batch
+    violated disjointness somewhere)."""
+    from fundamental_spark.operators.pipeline import bpe_train, bpe_train_batched
+
+    docs = spark.createDataFrame(
+        [("d1", "the quick brown fox jumps over the lazy dog " * 3),
+         ("d2", "pack my box with five dozen liquor jugs " * 2),
+         ("d3", "the jay pig fox zebra and my wolves quack " * 2)],
+        "doc_id string, text string",
+    )
+    batched = [tuple(r) for r in
+               bpe_train_batched(docs, n_merges=8, batch=4).collect()]
+    # per-round disjointness: ranks 1-4 = round 1, 5-8 = round 2
+    for lo in (0, 4):
+        used: set[str] = set()
+        for _, a, b, _c in batched[lo:lo + 4]:
+            assert a not in used and b not in used, batched[lo:lo + 4]
+            used.update((a, b))
+    # count exactness: the sequential trainer, run long enough to pick
+    # the same pairs, reports the same count for every shared pair
+    seq = {(a, b): c for _, a, b, c in
+           (tuple(r) for r in bpe_train(docs, n_merges=16).collect())}
+    shared = [(a, b, c) for _, a, b, c in batched if (a, b) in seq]
+    assert shared, "fixture produced no shared pairs"
+    for a, b, c in shared:
+        assert seq[(a, b)] == c, (a, b, c, seq[(a, b)])

@@ -146,3 +146,42 @@ def test_bm25_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_fluency_scale_mode_no_corpus_sort(spark):
+    """Quantile-mode fluency bucketing: no NTILE anywhere, the bucket
+    map joins back broadcast (corpus rows never re-shuffled for the
+    bucketing), and every Window/Sort sits ABOVE an aggregation (the
+    bounded histogram), never over corpus rows."""
+    plan = _plan(spark, "lm_fluency_buckets_scale")
+    assert "ntile" not in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    # the spec form, by contrast, windows over the corpus
+    spec = _plan(spark, "lm_fluency_buckets")
+    assert "ntile" in spec.lower()
+
+
+def test_fluency_modes_agree_without_boundary_ties(spark):
+    """The quantile form must equal the NTILE spec form wherever no
+    score tie crosses a bucket boundary — pinned on a constructed
+    tie-free fixture (distinct texts => distinct integer scores)."""
+    from fundamental_spark.operators.pipeline import lm_fluency_buckets
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    for i in range(40):
+        # vary length and composition so every score_ppm is distinct
+        toks = [words[(i + j) % len(words)] for j in range(2 + i % 9)]
+        toks += [words[i % len(words)]] * (i % 4)
+        rows.append((f"d{i:03d}", "en" if i % 2 else "nl", " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    nt = lm_fluency_buckets(docs, n_buckets=3)
+    qt = lm_fluency_buckets(docs, n_buckets=3, mode="quantile")
+    # fixture premise: per-language scores are unique (no ties at all)
+    per_lang = {}
+    for r in nt.select("lang", "score_ppm").collect():
+        per_lang.setdefault(r["lang"], []).append(r["score_ppm"])
+    assert all(len(v) == len(set(v)) for v in per_lang.values()), "fixture has ties"
+    a = sorted(tuple(r) for r in nt.collect())
+    b = sorted(tuple(r) for r in qt.collect())
+    assert a == b

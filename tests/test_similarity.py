@@ -372,3 +372,27 @@ def test_embedding_outliers_planted(spark):
     ranks = {r["vec_id"]: r["outlier_rank"] for r in out.collect()}
     assert ranks[99] == 1
     assert out.filter(F.col("is_outlier")).count() == 2  # one per label
+
+
+def test_ivfpq_topk_planted_twin_and_determinism(vectors, spark):
+    """Composed IVF+PQ (FAISS IVFADC shape): the planted near-identical
+    twin must survive BOTH approximations (cell pruning and code
+    compression — near-identical vectors share cells and codes) and win
+    the exact re-rank at rank 1; the whole pipeline is RNG-free so two
+    runs must be identical."""
+    from fundamental_spark.operators.similarity import ivfpq_topk
+
+    emb, _ = vectors  # dim=16
+    kwargs = dict(k=3, n_centroids=4, n_probe=2, n_assign=2,
+                  m=4, ksub=8, rerank=20)
+    res = ivfpq_topk(emb, emb.filter(F.col("vec_id") == 0), **kwargs)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in res.collect())
+    assert rows[0] == (1, 200)  # the twin survives cells + codes + re-rank
+    assert len(rows) == 3
+    again = sorted(
+        (r["rank"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            emb.repartition(7), emb.filter(F.col("vec_id") == 0), **kwargs
+        ).collect()
+    )
+    assert again == rows
