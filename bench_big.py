@@ -233,12 +233,20 @@ def vectors_leg(spark, src_dir: str) -> dict:
 
     from fundamental_spark.operators.similarity import pq_topk, semdedup
 
+    from fundamental_spark.operators.similarity import kmeans_centroids
+
     base = spark.read.parquet(f"{src_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     n_base = base.count()
     out: dict = {"n_base": n_base}
-    for label, reps, n_cents in (("50k", 25, 32), ("500k", 250, 256)):
+    # n_centroids scales EXACTLY with n (32 -> 320) so the per-cell
+    # matmul term Σn_c² ~ n²/k is linear by construction; the remaining
+    # super-linear term is Lloyd training + assignment at O(n·k·d),
+    # timed separately below so the two curves are attributable (the
+    # deployment fix for the assignment term — hierarchical / ANN-
+    # assisted assignment a la faiss — is documented, not implemented)
+    for label, reps, n_cents in (("50k", 25, 32), ("500k", 250, 320)):
         corpus = (
             base.crossJoin(
                 spark.range(reps).select(F.col("id").alias("rep"))
@@ -258,6 +266,9 @@ def vectors_leg(spark, src_dir: str) -> dict:
         n = corpus.count()
         queries = corpus.filter(F.col("vec_id") < 10)
         t0 = time.perf_counter()
+        kmeans_centroids(corpus, n_centroids=n_cents, n_iters=3)
+        kmeans_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
         n_dropped = (
             semdedup(corpus, threshold=0.9, n_centroids=n_cents)
             .filter(~F.col("kept"))
@@ -271,6 +282,7 @@ def vectors_leg(spark, src_dir: str) -> dict:
         out[label] = {
             "n_vectors": n,
             "n_centroids": n_cents,
+            "kmeans_train_sec": kmeans_sec,
             "semdedup_sec": sem_sec,
             "semdedup_dropped": int(n_dropped),
             "ann_pq_sec": pq_sec,

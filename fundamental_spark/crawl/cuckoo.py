@@ -166,35 +166,43 @@ def _member_mask(
 def probe_cuckoo(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
     """candidates(url_hash, domain_shard, ...) + cuckoo table ->
     candidates with ``maybe_seen``. maybe_seen=False is definitive
-    for keys never deleted (no false negatives)."""
-    joined = candidates.join(F.broadcast(cuckoo), "domain_shard", "left")
+    for keys never deleted (no false negatives).
+
+    Per-shard tables ride a Spark broadcast variable read inside the
+    UDF (bounded collect: n_shards rows) — see probe_bloom for why the
+    broadcast-JOIN alternative pays the table bytes once PER CANDIDATE
+    ROW in Arrow traffic (measured 260 s -> ~2 s on a 200k-row probe),
+    and for the co-partitioned scale path past executor memory."""
+    sc = candidates.sparkSession.sparkContext
+    tables = {
+        int(r["domain_shard"]): (
+            int(r["m"]), int(r["f"]), bytes(r["table"]), bytes(r["stash"])
+        )
+        for r in cuckoo.collect()
+    }
+    bc = sc.broadcast(tables)
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
-    def _member(
-        url_hash: pd.Series, m: pd.Series, f: pd.Series,
-        table: pd.Series, stash: pd.Series,
-    ) -> pd.Series:
+    def _member(url_hash: pd.Series, shard: pd.Series) -> pd.Series:
         out = np.zeros(len(url_hash), dtype=bool)
         if len(url_hash) == 0:
             return pd.Series(out)
         arr_h = url_hash.to_numpy(dtype=np.int64).view(np.uint64)
-        key = table.map(lambda b: id(b) if b is not None else -1)
-        for _, idx in pd.Series(range(len(url_hash))).groupby(key.values):
-            i = idx.to_numpy()
-            b = table.iloc[i[0]]
-            if b is None:
-                out[i] = False
+        sh = shard.to_numpy()
+        for s in np.unique(sh):
+            ent = bc.value.get(int(s))
+            i = np.nonzero(sh == s)[0]
+            if ent is None:
                 continue
-            tb = np.frombuffer(b, dtype=np.uint16)
-            st = np.frombuffer(stash.iloc[i[0]], dtype=np.uint64)
-            out[i] = _member_mask(arr_h[i], tb, st, int(m.iloc[i[0]]), int(f.iloc[i[0]]))
+            mm, ff, tb_b, st_b = ent
+            tb = np.frombuffer(tb_b, dtype=np.uint16)
+            st = np.frombuffer(st_b, dtype=np.uint64)
+            out[i] = _member_mask(arr_h[i], tb, st, mm, ff)
         return pd.Series(out)
 
-    return joined.withColumn(
-        "maybe_seen", _member("url_hash", "m", "f", "table", "stash")
-    ).drop("m", "f", "table", "stash")
+    return candidates.withColumn("maybe_seen", _member("url_hash", "domain_shard"))
 
 
 def delete_keys(cuckoo: DataFrame, deletes: DataFrame) -> DataFrame:

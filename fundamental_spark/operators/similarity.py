@@ -308,6 +308,56 @@ def _nearest_cells_col(
     )
 
 
+def assign_cells_gemm(
+    df: DataFrame,
+    cents_normed: list[list[float]],
+    n: int,
+    vec_col: str,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Append ``out_col`` = the n nearest centroid indices — the
+    O(n·k·d) GEMM scale path for cell assignment.
+
+    Same selection contract as ``_nearest_cells_col`` (top-n by dot
+    DESC, cell index DESC on ties — stable ascending argsort reversed),
+    but the k dots per vector are ONE BLAS matmul per Arrow batch
+    instead of k interpreted JVM fold expressions per row: at 500k
+    vectors × 320 centroids (the bench_big vectors leg) the fold form
+    spent ~200 s in Lloyd assignment alone, the GEMM form runs the
+    same assignment in seconds, and at SemDeDup's deployment sizing
+    (110k clusters) the fold form is simply not runnable. Dots are
+    pinned to the 1e-9 grid (half-away rounding — the F.round/DuckDB
+    ROUND twin already used for centroid means) BEFORE the compare, so
+    the argmax is engine-independent despite BLAS pairwise vs
+    sequential-fold summation (~1e-15 apart); the DuckDB oracles
+    mirror the pin with ROUND(list_dot_product(..), 9)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    C = np.array(cents_normed, dtype=np.float64)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            s = mat @ C.T
+            s = np.sign(s) * np.floor(np.abs(s) * 1e9 + 0.5) / 1e9
+            order = np.argsort(s, axis=1, kind="stable")[:, ::-1][:, :n]
+            pdf[out_col] = [row.astype("int32").tolist() for row in order]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -332,14 +382,12 @@ def kmeans_centroids(
     ]
     dim = len(cents[0]) if cents else 0
     for _ in range(n_iters):
-        # two-step select: a generator (posexplode) in the same
-        # projection as the struct-array argmax strips the struct field
-        # aliases during analysis — stage them instead
+        # GEMM assignment (assign_cells_gemm): Lloyd's per-iteration
+        # O(n·k·d) is the dominant cost at deployment cell counts —
+        # the interpreted-fold form spent ~200 s/iter-set at 500k×320
         comps = (
-            base.select(
-                _nearest_cells_col(cents, "v", 1)[0].alias("cell"),
-                F.col("v"),
-            )
+            assign_cells_gemm(base.select("v"), cents, 1, "v")
+            .select(F.col("cells")[0].alias("cell"), "v")
             .select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             # round: see _unit — keeps the per-cell means reproducible
@@ -385,20 +433,18 @@ def ivf_topk(
         id_col=id_col, vec_col=vec_col,
     )
 
-    c = (
-        spread(corpus)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            _nearest_cells_col(cents, vec_col, n_assign).alias("cells"),
-        )
-        .select("neighbor_id", "cv", F.explode("cells").alias("cell"))
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(_nearest_cells_col(cents, vec_col, n_probe)).alias("cell"),
-    )
+    c = assign_cells_gemm(
+        spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        cents, n_assign, "cv",
+    ).select("neighbor_id", "cv", F.explode("cells").alias("cell"))
+    q = assign_cells_gemm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        cents, n_probe, "qv",
+    ).select("query_id", "qv", F.explode("cells").alias("cell"))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -747,11 +793,12 @@ def semdedup(
     )
     if not cents:
         return sess.createDataFrame([], out_schema)
-    assigned = spread(corpus).select(
-        F.col(id_col).alias("id"),
-        _to_double(F.col(vec_col)).alias("v"),
-        _nearest_cells_col(cents, vec_col, 1)[0].alias("cell"),
-    )
+    assigned = assign_cells_gemm(
+        spread(corpus).select(
+            F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+        ),
+        cents, 1, "v",
+    ).select("id", "v", F.col("cells")[0].alias("cell"))
 
     def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
@@ -823,13 +870,157 @@ def _pq_argmin_code(
     sort on (distance key, index) — ties take the smaller index,
     mirrored by the oracle's ORDER BY key ASC, c ASC. ``u_name`` is the
     unit-vector COLUMN NAME; the ksub×dsub literal block renders as one
-    SQL string."""
+    SQL string. Kept as the JVM-fold twin of ``assign_pq_codes_gemm``
+    (tests pin their agreement); production encoding goes through the
+    GEMM form."""
     u_sql = f"`{u_name}`"
     scored = "array(" + ", ".join(
         f"named_struct('d', {_pq_dist_key_sql(u_sql, s, dsub, cvec)}, 'c', {j})"
         for j, cvec in enumerate(cents_s)
     ) + ")"
     return F.expr(f"array_sort({scored})[0].c")
+
+
+def _pq_np_setup(codebooks: list[list[list[float]]]):
+    """(m, dsub, centroid matrices, sequential-fold ‖c‖² rows) — the
+    shared numpy view of a PQ codebook set."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    c2s = []
+    for cb in codebooks:
+        row = []
+        for cvec in cb:
+            c2 = 0.0
+            for c in cvec:
+                c2 = c2 + float(c) * float(c)
+            row.append(c2)
+        c2s.append(np.array(row, dtype=np.float64))
+    return m, dsub, cs, c2s
+
+
+def _pq_codes_np(mat, cs, c2s, dsub: int):
+    """Per-subspace argmin codes for a float64 batch matrix of UNIT
+    vectors: key = −2⟨u_s,c⟩ + ‖c‖² pinned to the 1e-9 half-away grid,
+    ties → smaller index (np.argmin first-hit)."""
+    import numpy as np
+
+    out = []
+    for s in range(len(cs)):
+        key = -2.0 * (mat[:, s * dsub:(s + 1) * dsub] @ cs[s].T) + c2s[s]
+        key = np.sign(key) * np.floor(np.abs(key) * 1e9 + 0.5) / 1e9
+        out.append(np.argmin(key, axis=1))
+    return out
+
+
+def _np_unit(mat):
+    """Unit-normalize a float64 batch matrix (zero rows unchanged).
+    Differs from the JVM ``_unit_vec`` fold by ~1e-16 per component —
+    only ever feeds comparisons pinned to the 1e-9 grid or means
+    rounded to 9 dp, never an unpinned cross-engine value."""
+    import numpy as np
+
+    nrm = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    nrm[nrm == 0.0] = 1.0
+    return mat / nrm
+
+
+def pq_train_partials(
+    df: DataFrame, codebooks: list[list[list[float]]], vec_col: str
+) -> DataFrame:
+    """One Lloyd-iteration pass for PQ training, with the map-side
+    combine done INSIDE the Arrow batch: encode the batch (GEMM), then
+    np.add.at-accumulate per-(subspace, cell) component sums and
+    counts, emitting ≤ m·ksub·dsub tiny partial rows per batch instead
+    of n·d exploded rows. The iteration's exchange carries O(batches ×
+    m·ksub·dsub) partials regardless of corpus size — the explode form
+    it replaces shipped 32M rows per iteration at 500k×64 and made
+    codebook training the dominant term of ann_pq (measured 50 s → a
+    few s). Mean = ROUND(SUM/COUNT, 9) downstream, so numpy partial-sum
+    order is washed by the same grid the oracle uses."""
+    import numpy as np
+    import pandas as pd
+
+    m, dsub, cs, c2s = _pq_np_setup(codebooks)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _np_unit(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            codes = _pq_codes_np(mat, cs, c2s, dsub)
+            ks = len(c2s[0])
+            recs: dict[str, list] = {"s": [], "cell": [], "pos": [], "sx": [], "cnt": []}
+            for s in range(m):
+                sums = np.zeros((ks, dsub), dtype=np.float64)
+                np.add.at(sums, codes[s], mat[:, s * dsub:(s + 1) * dsub])
+                cnts = np.bincount(codes[s], minlength=ks)
+                for j in np.nonzero(cnts)[0]:
+                    for p in range(dsub):
+                        recs["s"].append(s)
+                        recs["cell"].append(int(j))
+                        recs["pos"].append(p)
+                        recs["sx"].append(float(sums[j, p]))
+                        recs["cnt"].append(int(cnts[j]))
+            yield pd.DataFrame(recs)
+
+    return df.mapInPandas(
+        gen, "s int, cell int, pos int, sx double, cnt long"
+    )
+
+
+def assign_pq_codes_gemm(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    u_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Append ``code_0..code_{m-1}`` int columns — PQ encoding as m
+    little BLAS matmuls per Arrow batch instead of m·ksub interpreted
+    fold dots per row (``assign_cells_gemm``'s trick applied to the
+    OTHER O(n·k·d) cost in the vector tier: encoding the corpus is
+    n·m·ksub·dsub multiplies however it's computed, and the fold form
+    made it the dominant term of ann_pq at 500k vectors).
+
+    Distance key and tie rule match ``_pq_argmin_code`` exactly:
+    −2⟨u_s,c⟩ + ‖c‖² with ‖c‖² accumulated SEQUENTIALLY in Python
+    (bit-identical to both engines' fold), the key pinned to the 1e-9
+    half-away grid before the argmin (the oracle mirrors with
+    ROUND(.., 9)), ties → smaller code index (np.argmin's first-hit
+    rule). ``normalize=True`` unit-normalizes inside the batch
+    (``_np_unit``), letting callers pass the raw embedding and skip
+    the interpreted JVM ``_unit_vec`` pass AND the 2× Arrow width of a
+    float64 u column — safe because the 1e-16 normalization delta
+    feeds only the pinned keys."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m, dsub, cs, c2s = _pq_np_setup(codebooks)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"code_{s}", IntegerType()) for s in range(m)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                for s in range(m):
+                    pdf[f"code_{s}"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            mat = np.array(pdf[u_col].tolist(), dtype=np.float64)
+            if normalize:
+                mat = _np_unit(mat)
+            for s, codes in enumerate(_pq_codes_np(mat, cs, c2s, dsub)):
+                pdf[f"code_{s}"] = codes.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
 
 
 def pq_codebooks(
@@ -856,10 +1047,17 @@ def pq_codebooks(
     if dim == 0 or dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    base = spread(corpus).select(
-        F.col(id_col).alias("id"), _unit_vec(F.col(vec_col)).alias("u")
+    base = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("rv"))
+    # seeds via the JVM _unit_vec fold — bit-identical to the oracle's
+    # eu CTE, and an empty cell's centroid survives iterations RAW
+    # (unrounded), so the seed source must stay fold-exact cross-engine
+    seeds = (
+        spread(corpus)
+        .select(F.col(id_col).alias("id"), _unit_vec(F.col(vec_col)).alias("u"))
+        .orderBy("id")
+        .limit(ksub)
+        .collect()
     )
-    seeds = base.orderBy("id").limit(ksub).collect()
     if len(seeds) < ksub:
         raise ValueError(f"corpus smaller than ksub={ksub}")
     cents = [
@@ -867,19 +1065,10 @@ def pq_codebooks(
         for s in range(m)
     ]
     for _ in range(n_iters):
-        sel = [
-            F.struct(
-                F.lit(s).alias("s"),
-                _pq_argmin_code("u", s, dsub, cents[s]).alias("cell"),
-                F.slice("u", s * dsub + 1, dsub).alias("x"),
-            )
-            for s in range(m)
-        ]
         comps = (
-            base.select(F.explode(F.array(*sel)).alias("r"))
-            .select("r.s", "r.cell", F.posexplode("r.x").alias("pos", "x"))
+            pq_train_partials(base.select("rv"), cents, "rv")
             .groupBy("s", "cell", "pos")
-            .agg(F.round(F.avg("x"), 9).alias("mc"))
+            .agg(F.round(F.sum("sx") / F.sum("cnt"), 9).alias("mc"))
             .collect()
         )
         by_sc: dict[tuple[int, int], dict[int, float]] = {}
@@ -931,20 +1120,15 @@ def pq_topk(
         corpus, m=m, ksub=ksub, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
     dsub = len(cb[0][0])
-    cu = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _unit_vec(F.col(vec_col)).alias("u"),
-    )
     # the ADC scan reads ONLY the code columns — the raw vector never
     # rides through the n×q join (that would undo the 32× compression);
     # re-rank joins it back for just q·rerank candidate rows
-    codes = cu.select(
-        "neighbor_id",
-        *[
-            _pq_argmin_code("u", s, dsub, cb[s]).alias(f"code_{s}")
-            for s in range(m)
-        ],
-    )
+    codes = assign_pq_codes_gemm(
+        spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("rv")
+        ),
+        cb, "rv", normalize=True,
+    ).drop("rv")
     # per-query LUT: flat array lut[s*ksub + j] = ⟨q_s, c_{s,j}⟩
     qu = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1032,33 +1216,27 @@ def ivfpq_topk(
         corpus, m=m, ksub=ksub, n_iters=pq_iters, id_col=id_col, vec_col=vec_col
     )
     dsub = len(cb[0][0])
-    cu = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _unit_vec(F.col(vec_col)).alias("u"),
-        _nearest_cells_col(cents, vec_col, n_assign).alias("cells"),
+    cu = assign_cells_gemm(
+        spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("rv")
+        ),
+        cents, n_assign, "rv",
     )
-    # encode first, THEN explode the cell list: a generator in the same
-    # projection as the struct-array argmax strips struct aliases
-    # during analysis (see kmeans_centroids), and the m code columns
+    # encode first, THEN explode the cell list — the m code columns
     # must be computed once per vector, not once per (vector, cell)
-    codes = cu.select(
-        "neighbor_id",
-        "cells",
-        *[
-            _pq_argmin_code("u", s, dsub, cb[s]).alias(f"code_{s}")
-            for s in range(m)
-        ],
-    ).select(
+    codes = assign_pq_codes_gemm(cu, cb, "rv", normalize=True).select(
         "neighbor_id",
         F.explode("cells").alias("cell"),
         *[f"code_{s}" for s in range(m)],
     )
-    qu = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv_raw"),
-        _unit_vec(F.col(vec_col)).alias("qu"),
-        _nearest_cells_col(cents, vec_col, n_probe).alias("qcells"),
-    )
+    qu = assign_cells_gemm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv_raw"),
+            _unit_vec(F.col(vec_col)).alias("qu"),
+        ),
+        cents, n_probe, "qv_raw",
+    ).withColumnRenamed("cells", "qcells")
     lut_sql = "array(" + ", ".join(
         _sql_dot(f"slice(`qu`, {s * dsub + 1}, {dsub})", cb[s][j])
         for s in range(m)

@@ -1441,8 +1441,12 @@ def ann_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid ~1e7× coarser than FP-reduction-order noise — so DuckDB unrolls
 # the 3 iterations as CTE rounds and lands on bit-identical centroids,
 # then reproduces the multi-assign / multi-probe cell join and the
-# exact-cosine rank. Tie order in the argmax (dot DESC, cell DESC)
-# mirrors the reversed array_sort in similarity._nearest_cells_col.
+# exact-cosine rank. Assignment dots are ALSO pinned to the 1e-9 grid
+# on both engines (ROUND here, np half-away in assign_cells_gemm):
+# Spark computes them as one BLAS matmul per Arrow batch — the O(n·k·d)
+# scale path — whose pairwise summation differs from DuckDB's
+# sequential fold by ~1e-15; the pin makes the argmax (dot DESC, cell
+# DESC — assign_cells_gemm's reversed stable argsort) engine-exact.
 _IVF_UNIT = "list_transform({m}, x -> ROUND(x / sqrt(list_dot_product({m}, {m})), 9))"
 
 
@@ -1460,7 +1464,7 @@ def _ivf_cents_cte(n_centroids: int = 16, n_iters: int = 3, dim: int = 64) -> st
     a{t} AS (SELECT vec_id, v, cell FROM (
                SELECT e.vec_id, e.v, c.cell,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                         ORDER BY ROUND(list_dot_product(e.v, c.cv), 9) DESC,
                                                   c.cell DESC) AS rn
                FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1),
     m{t} AS (SELECT a.cell, t.pos, ROUND(AVG(a.v[t.pos]), 9) AS m
@@ -1480,13 +1484,13 @@ def _ivf_cte(
     cass AS (SELECT vec_id AS neighbor_id, cell FROM (
                SELECT e.vec_id, c.cell,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                         ORDER BY ROUND(list_dot_product(e.v, c.cv), 9) DESC,
                                                   c.cell DESC) AS rn
                FROM e CROSS JOIN c{n_iters} c) WHERE rn <= {n_assign}),
     qass AS (SELECT vec_id AS query_id, cell FROM (
                SELECT e.vec_id, c.cell,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                         ORDER BY ROUND(list_dot_product(e.v, c.cv), 9) DESC,
                                                   c.cell DESC) AS rn
                FROM e CROSS JOIN c{n_iters} c
                WHERE e.vec_id < 10) WHERE rn <= {n_probe}),
@@ -1587,9 +1591,9 @@ def _pq_cte(
             FROM seedrows r CROSS JOIN generate_series(0, {m - 1}) s)"""]
     assign = f"""SELECT e.vec_id, c.s, c.c AS cell,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
-                        ORDER BY ((-2.0) * list_dot_product(
+                        ORDER BY ROUND((-2.0) * list_dot_product(
                                     array_slice(e.u, c.s*{dsub} + 1, c.s*{dsub} + {dsub}), c.cv)
-                                  + list_dot_product(c.cv, c.cv)) ASC, c.c ASC) AS rn
+                                  + list_dot_product(c.cv, c.cv), 9) ASC, c.c ASC) AS rn
                FROM eu e CROSS JOIN cb{{t}} c"""
     for t in range(1, n_iters + 1):
         parts.append(f""",
@@ -1720,13 +1724,13 @@ def _ivfpq_cte(
     cass AS (SELECT vec_id AS neighbor_id, cell FROM (
                SELECT e.vec_id, c.cell,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                         ORDER BY ROUND(list_dot_product(e.v, c.cv), 9) DESC,
                                                   c.cell DESC) AS rn
                FROM e CROSS JOIN c{ivf_iters} c) WHERE rn <= {n_assign}),
     qass AS (SELECT vec_id AS query_id, cell FROM (
                SELECT e.vec_id, c.cell,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                         ORDER BY ROUND(list_dot_product(e.v, c.cv), 9) DESC,
                                                   c.cell DESC) AS rn
                FROM e CROSS JOIN c{ivf_iters} c
                WHERE e.vec_id < 10) WHERE rn <= {n_probe}),
@@ -1744,9 +1748,9 @@ def _ivfpq_cte(
             FROM pqseed r CROSS JOIN generate_series(0, {m - 1}) s)""")
     assign = f"""SELECT e.vec_id, c.s, c.c AS cell,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
-                        ORDER BY ((-2.0) * list_dot_product(
+                        ORDER BY ROUND((-2.0) * list_dot_product(
                                     array_slice(e.u, c.s*{dsub} + 1, c.s*{dsub} + {dsub}), c.cv)
-                                  + list_dot_product(c.cv, c.cv)) ASC, c.c ASC) AS rn
+                                  + list_dot_product(c.cv, c.cv), 9) ASC, c.c ASC) AS rn
                FROM eu e CROSS JOIN cb{{t}} c"""
     for t in range(1, pq_iters + 1):
         parts.append(f""",
@@ -1869,7 +1873,7 @@ def ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd_cass AS (SELECT vec_id AS id, v, cell FROM (
                SELECT e.vec_id, e.v, c.cell,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                         ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                         ORDER BY ROUND(list_dot_product(e.v, c.cv), 9) DESC,
                                                   c.cell DESC) AS rn
                FROM e CROSS JOIN c3 c) WHERE rn = 1),
     sd_dropped AS (SELECT DISTINCT b.id FROM sd_cass a JOIN sd_cass b
