@@ -413,3 +413,90 @@ def drain_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def drain_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    threshold: float = 0.1,
+    k: int = 64,
+    bands: int = 16,
+    allow_low_recall: bool = True,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming NEAR-dup dedup (T12's streaming twin — the crawl
+    runner's ``_neardup_wave`` lifted onto Structured Streaming): each
+    micro-batch's document delta probes the PERSISTED MinHash band
+    index, appends its verified pairs, then its own bands + texts — so
+    the probe side is O(batch), cross-batch state is the band index
+    itself (plus the checkpointed source offsets), and the union of
+    per-batch pair outputs provably equals the full-corpus
+    ``minhash_lsh_pairs`` set at the same config (pinned by
+    tests/test_stateful_streaming.py).
+
+    State layout under ``state_dir``: ``bands/`` (doc, band_idx,
+    band_hash), ``texts/`` (doc_id, text — the verification corpus,
+    persisted incrementally so verification never depends on source
+    replayability), ``pairs/`` (doc_a, doc_b, jaccard). All three are
+    written per-batch into a ``batch=<id>`` subdirectory with
+    overwrite — a replayed micro-batch after a mid-batch failure
+    rewrites its own partition instead of double-appending, which is
+    what makes the foreachBatch sink exactly-once (the same contract
+    the crawl gets from its delta-table commit protocol)."""
+    from ..operators.dedup import minhash_band_table, minhash_probe_band_index
+
+    bands_dir = os.path.join(state_dir, "bands")
+    texts_dir = os.path.join(state_dir, "texts")
+    pairs_dir = os.path.join(state_dir, "pairs")
+    bands_schema = "doc bigint, band_idx int, band_hash string"
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        try:
+            index = spark.read.schema(bands_schema).parquet(
+                os.path.join(bands_dir, "batch=*")
+            )
+        except Exception:
+            index = spark.createDataFrame([], bands_schema)
+        try:
+            prior_texts = spark.read.schema("doc_id bigint, text string").parquet(
+                os.path.join(texts_dir, "batch=*")
+            )
+        except Exception:
+            prior_texts = spark.createDataFrame([], "doc_id bigint, text string")
+        pairs = minhash_probe_band_index(
+            batch,
+            index,
+            prior_texts.unionByName(batch),
+            threshold=threshold,
+            k=k,
+            bands=bands,
+            allow_low_recall=allow_low_recall,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+        minhash_band_table(batch, k=k, bands=bands).write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch={batch_id}")
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(texts_dir, f"batch={batch_id}")
+        )
+
+    ds = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        ds.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -94,3 +94,44 @@ def test_streamed_dedup_matches_batch_keep_first(spark, tmp_path):
     # the planted CROSS-batch dup is dropped via carried state — this
     # part is deterministic regardless of within-batch first-row picks
     assert 99990 not in kept_ids
+
+
+def test_streamed_neardup_matches_full_corpus_lsh(spark, tmp_path):
+    """Streaming near-dup (foreachBatch band-index probe, T12 twin):
+    draining the documents table in 3 micro-batches must produce, as
+    the union of per-batch pair outputs, EXACTLY the one-shot
+    full-corpus minhash_lsh_pairs set at the same (64,16)@0.1 config —
+    pairs spanning batches are caught by the batch that completes
+    them, same-batch pairs by canonicalize+distinct."""
+    import time as _time
+
+    from fundamental_spark.operators.dedup import minhash_lsh_pairs
+    from fundamental_spark.streaming.jobs import drain_neardup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs.select("doc_id", "text"),
+            threshold=0.1, k=64, bands=16, allow_low_recall=True,
+        ).collect()
+    }
+    assert want, "fixture must contain near-dup pairs"
+    src = str(tmp_path / "docs_src")
+    n = docs.count()
+    bounds = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, 10 ** 9)]
+    for lo, hi in bounds:
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)  # file source orders by mtime
+    state = str(tmp_path / "state")
+    drain_neardup(spark, src, str(tmp_path / "ckpt"), state,
+                  threshold=0.1, k=64, bands=16, allow_low_recall=True)
+    got_rows = spark.read.parquet(f"{state}/pairs/batch=*").collect()
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got_rows}
+    assert got == want
+    # every pair is emitted by exactly one micro-batch
+    assert len(got_rows) == len(got)
+    # the persisted band index covers every doc exactly once per band
+    idx = spark.read.parquet(f"{state}/bands/batch=*")
+    assert idx.count() == n * 16
