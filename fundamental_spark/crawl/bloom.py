@@ -101,11 +101,16 @@ def probe_bloom(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
     EVERY candidate row of the Arrow batches feeding the UDF — ~75 KB
     duplicated per row at bench sizing, 5x the probe's real work
     (measured 54 s -> ~2 s for a 200k-row probe of a 2M-key filter).
-    Total filter bytes must fit executor memory — the same bound the
-    join design already imposed; past that (10^10-key frontiers), the
-    scale path is co-partitioning candidates and filter on
+    Total filter bytes must fit DRIVER memory (the bounded collect
+    below) and executor memory — the executor bound is the same one
+    the join design already imposed; past that (10^10-key frontiers),
+    the scale path is co-partitioning candidates and filter on
     domain_shard (one shuffle of the candidates, each task reading
-    only its shard's bitmap)."""
+    only its shard's bitmap). Broadcast lifecycle: one broadcast per
+    probe call, freed by Spark's ContextCleaner once the caller
+    releases the returned DataFrame — a wave-loop caller that drops
+    its frames per wave (the runner does) keeps O(1) broadcasts
+    live."""
     sc = candidates.sparkSession.sparkContext
     tables = {
         int(r["domain_shard"]): (int(r["m"]), int(r["k"]), bytes(r["bitmap"]))

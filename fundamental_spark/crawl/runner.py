@@ -921,7 +921,11 @@ class CrawlRunner:
         # compact the delta tables that are re-read EVERY wave, up to the
         # version the checkpoint just pinned (never past a durable commit:
         # resume rolls back only to >= the floor, contract kept)
-        for name in ("url_seen", "response_cache", "refreshed_urls"):
+        compact_names = ["url_seen", "response_cache", "refreshed_urls"]
+        if self.neardup_dedup:
+            # the hook re-reads documents AND the band index every wave
+            compact_names += ["documents", "neardup_bands"]
+        for name in compact_names:
             v = self._versions.get(name)
             if v is not None and v - self.wh.compaction_floor(name) >= self.compact_every:
                 self.wh.compact_deltas(name, upto=v)
@@ -969,6 +973,12 @@ class CrawlRunner:
         texts_all = self._doc_text(self._read_deltas("documents"))
         delta = texts_all.filter(F.col("wave") == wave).select("doc_id", "text")
         index = self._read_deltas("neardup_bands")
+        # compute the delta's bands ONCE (materialized): the probe AND
+        # the stored-index append both consume them — without the
+        # checkpoint the signature aggregation would run twice
+        delta_bands = minhash_band_table(delta, k=k, bands=bands).localCheckpoint(
+            eager=True
+        )
         pairs = minhash_probe_band_index(
             delta,
             index,
@@ -977,13 +987,12 @@ class CrawlRunner:
             k=k,
             bands=bands,
             allow_low_recall=cfg is None,
+            new_bands=delta_bands,
         )
         self._append_delta(
             "neardup_pairs", pairs.withColumn("wave", F.lit(wave))
         )
-        self._append_delta(
-            "neardup_bands", minhash_band_table(delta, k=k, bands=bands)
-        )
+        self._append_delta("neardup_bands", delta_bands)
 
     def run(self, max_waves: int = 1000) -> int:
         """Drain the frontier; returns the number of waves executed."""

@@ -1025,6 +1025,7 @@ def minhash_probe_band_index(
     allow_low_recall: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a STORED band index with an ingest delta — the production
     sibling of ``minhash_incremental_pairs`` (which derives its index
@@ -1033,6 +1034,12 @@ def minhash_probe_band_index(
     (same-ingest pairs). ``texts`` must cover (id_col, text_col) for
     every doc that can appear in a pair — typically the cumulative
     documents table; verification shingles only the candidate docs.
+
+    Callers that ALSO append the delta's bands to the stored index
+    should compute them once with ``minhash_band_table``, materialize
+    (localCheckpoint), and pass them as ``new_bands`` — otherwise the
+    full shingle+signature aggregation over the delta runs twice, once
+    for the probe and once for the append.
 
     Invariant (pinned by test): running ingests through this probe and
     unioning the outputs reproduces EXACTLY the full-corpus
@@ -1048,9 +1055,12 @@ def minhash_probe_band_index(
                 f"allow_low_recall=True to run it anyway"
             )
     par = new_docs.sparkSession.sparkContext.defaultParallelism
-    new_bands = minhash_band_table(
-        new_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
-    ).repartition(par)  # AQE-collapse guard before the expanding join
+    if new_bands is None:
+        new_bands = minhash_band_table(
+            new_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
+        )
+    # AQE-collapse guard before the expanding join
+    new_bands = new_bands.repartition(par)
     index_all = band_index.select("doc", "band_idx", "band_hash").unionByName(
         new_bands
     )

@@ -916,13 +916,18 @@ def bpe_train_batched(
 ):
     """Batched BPE training — the standard distributed-BPE trick that
     makes 30k-merge production runs feasible: per round, learn up to
-    ``batch`` MUTUALLY-DISJOINT pairs (no shared symbol) instead of
-    one, so the sequential form's O(n_merges) Spark round-trips become
+    ``batch`` MUTUALLY-DISJOINT pairs (no shared symbol among either
+    pick's operands OR its result a+b) instead of one, so the
+    sequential form's O(n_merges) Spark round-trips become
     O(n_merges/batch). Disjointness is what makes the batch exact:
-    merging (a,b) only perturbs adjacencies TOUCHING a or b, so every
-    disjoint pair's count — and its replace() application — is
-    invariant under the others; the batch is order-independent and
-    each selected pair carries the same count it would sequentially.
+    merging (a,b) only perturbs adjacencies TOUCHING a, b, or the new
+    symbol ab, so every disjoint pair's count — and its replace()
+    application — is invariant under the others; the batch is
+    order-independent and each selected pair carries the same count it
+    would sequentially. (Result symbols count as conflicts because a
+    pick whose operand equals another pick's RESULT would also merge
+    tokens created in the same round — a cascade the sequential form
+    never performs at the recorded count.)
 
     Deterministic selection contract (mirrored verbatim by the DuckDB
     oracle): rank all pairs by (count DESC, lhs, rhs); restrict to the
@@ -998,10 +1003,17 @@ def bpe_train_batched(
             if len(picked) >= need:
                 break
             a, b = r["a"], r["b"]
-            if a in used or b in used:
+            # disjointness must cover RESULT symbols too: if an earlier
+            # pick creates symbol 'abc' and a later pick's operand is
+            # 'abc' (or vice versa), the later replace would also merge
+            # tokens the earlier one JUST created — a same-round
+            # cascade that breaks count exactness and order
+            # independence. Mirrored verbatim by the oracle's
+            # NOT EXISTS over {lhs, rhs, lhs||rhs}.
+            if a in used or b in used or (a + b) in used:
                 continue
             picked.append((a, b, int(r["c"])))
-            used.update((a, b))
+            used.update((a, b, a + b))
         if not picked:
             break
         # all of this round's replaces nest into ONE projection — the

@@ -809,11 +809,13 @@ def semdedup(
         sims = mat @ mat.T
         # dropped[j] ⇔ ∃ i<j with cos(i,j) ≥ θ; ids are sorted, so
         # "earlier id" is exactly the strict upper triangle. The cosine
-        # is pinned to the 1e-9 grid before the compare — BLAS's pairwise
-        # summation and the oracle's sequential list_cosine_similarity
-        # fold differ by ~1e-15, and this is the only float boundary in
-        # the oracle contract that was left unpinned.
-        hot = np.round(sims, 9) >= threshold
+        # is pinned to the 1e-9 HALF-AWAY grid before the compare (the
+        # same form as assign_cells_gemm — np.round is half-EVEN and
+        # would disagree with the oracle's ROUND exactly at grid
+        # boundaries); BLAS pairwise summation and the oracle's
+        # sequential list_cosine_similarity fold differ by ~1e-15.
+        pinned = np.sign(sims) * np.floor(np.abs(sims) * 1e9 + 0.5) / 1e9
+        hot = pinned >= threshold
         hot[np.tril_indices(len(pdf))] = False
         dropped = hot.any(axis=0)
         return pd.DataFrame(

@@ -2507,8 +2507,8 @@ def _bpe_batched_oracle(n_merges: int, batch: int, window_k: int) -> str:
     lhs, rhs), restrict to the top-``window_k`` candidate window, then
     greedy-select up to ``batch`` mutually-disjoint pairs as ``batch``
     chained scalar CTE steps (sel_k = best candidate sharing no symbol
-    with sel_1..sel_{k-1} — identical to the operator's rank-order
-    conflict-skip scan). Data-dependent under-fill is handled with
+    — operands OR result lhs||rhs — with sel_1..sel_{k-1}, identical
+    to the operator's rank-order conflict-skip scan). Data-dependent under-fill is handled with
     COALESCE no-op replace patterns (chr(30)||chr(31) = an empty
     symbol, impossible in any encoding). Requires batch | n_merges so
     every round wants exactly ``batch`` picks (matches the operator's
@@ -2552,8 +2552,9 @@ def _bpe_batched_oracle(n_merges: int, batch: int, window_k: int) -> str:
     selB{r}_{k} AS MATERIALIZED (
       SELECT lhs, rhs, c FROM candB{r} p
       WHERE NOT EXISTS (SELECT 1 FROM ({taken}) s
-                        WHERE s.lhs IN (p.lhs, p.rhs)
-                           OR s.rhs IN (p.lhs, p.rhs))
+                        WHERE s.lhs IN (p.lhs, p.rhs, p.lhs || p.rhs)
+                           OR s.rhs IN (p.lhs, p.rhs, p.lhs || p.rhs)
+                           OR (s.lhs || s.rhs) IN (p.lhs, p.rhs, p.lhs || p.rhs))
       ORDER BY rn LIMIT 1)""")
         enc_expr = "enc"
         for k in range(1, batch + 1):

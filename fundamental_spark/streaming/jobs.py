@@ -442,30 +442,43 @@ def drain_neardup(
     replayability), ``pairs/`` (doc_a, doc_b, jaccard). All three are
     written per-batch into a ``batch=<id>`` subdirectory with
     overwrite — a replayed micro-batch after a mid-batch failure
-    rewrites its own partition instead of double-appending, which is
-    what makes the foreachBatch sink exactly-once (the same contract
-    the crawl gets from its delta-table commit protocol)."""
+    rewrites its own partition instead of double-appending, and the
+    state READS exclude the current batch's own partition (a replay
+    that crashed after writing batch N must not see batch-N rows as
+    "prior" state: a doc duplicated into the verification corpus
+    halves its own jaccard), which together make the foreachBatch sink
+    exactly-once (the same contract the crawl gets from its
+    delta-table commit protocol)."""
     from ..operators.dedup import minhash_band_table, minhash_probe_band_index
 
     bands_dir = os.path.join(state_dir, "bands")
     texts_dir = os.path.join(state_dir, "texts")
     pairs_dir = os.path.join(state_dir, "pairs")
     bands_schema = "doc bigint, band_idx int, band_hash string"
+    texts_schema = "doc_id bigint, text string"
+
+    def _read_state(base: str, schema: str, upto_batch: int) -> DataFrame:
+        # prior state = every batch partition BELOW the current id;
+        # only absence of the directory falls back to empty — any
+        # other read failure must raise, not silently drop state
+        if not os.path.isdir(base):
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.option("basePath", base)
+            .schema(f"{schema}, batch int")
+            .parquet(base)
+            .filter(F.col("batch") < upto_batch)
+            .drop("batch")
+        )
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
-        try:
-            index = spark.read.schema(bands_schema).parquet(
-                os.path.join(bands_dir, "batch=*")
-            )
-        except Exception:
-            index = spark.createDataFrame([], bands_schema)
-        try:
-            prior_texts = spark.read.schema("doc_id bigint, text string").parquet(
-                os.path.join(texts_dir, "batch=*")
-            )
-        except Exception:
-            prior_texts = spark.createDataFrame([], "doc_id bigint, text string")
+        index = _read_state(bands_dir, bands_schema, batch_id)
+        prior_texts = _read_state(texts_dir, texts_schema, batch_id)
+        # compute the batch's bands ONCE (probe + append both consume)
+        batch_bands = minhash_band_table(batch, k=k, bands=bands).localCheckpoint(
+            eager=True
+        )
         pairs = minhash_probe_band_index(
             batch,
             index,
@@ -474,11 +487,12 @@ def drain_neardup(
             k=k,
             bands=bands,
             allow_low_recall=allow_low_recall,
+            new_bands=batch_bands,
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
-        minhash_band_table(batch, k=k, bands=bands).write.mode("overwrite").parquet(
+        batch_bands.write.mode("overwrite").parquet(
             os.path.join(bands_dir, f"batch={batch_id}")
         )
         batch.write.mode("overwrite").parquet(
