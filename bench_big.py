@@ -34,7 +34,9 @@ DEDUP_QUERIES = ["dedup_exact", "dedup_winnow", "dedup_minhash_lsh",
                  "packing_stats", "train_split_stats", "pii_stats",
                  # round-5 corpus ops: 10x growth evidence
                  "dup_span_stats", "gopher_quality", "lm_fluency_buckets",
-                 "dsir_weights", "training_order"]
+                 "dsir_weights", "training_order",
+                 # round-6: the no-corpus-sort fluency scale form
+                 "lm_fluency_buckets_scale"]
 
 
 def build_big_documents(spark, src_dir: str) -> str:
@@ -453,6 +455,24 @@ def main() -> None:
                 "sec": round(time.perf_counter() - t0, 2),
                 "rows": rows,
             }
+        # incremental delta-probe dedup at 10x: the registered query's
+        # doc_id % 10 split assumes a bigint id; the big corpus carries
+        # replica-suffixed STRING ids, so the leg calls the operator
+        # with the hash twin of the same 10% split
+        from pyspark.sql import functions as F
+
+        from fundamental_spark.operators.dedup import minhash_incremental_pairs
+
+        t0 = time.perf_counter()
+        rows = minhash_incremental_pairs(
+            spark.read.parquet(f"{big}/documents.parquet"),
+            new_filter=F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0,
+            threshold=0.1, k=64, bands=16, allow_low_recall=True,
+        ).count()
+        timings["dedup_minhash_incremental(hash-split)"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": rows,
+        }
         result["dedup"] = timings
         shutil.rmtree(BIG_DIR, ignore_errors=True)
 
