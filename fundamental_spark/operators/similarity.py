@@ -358,6 +358,119 @@ def assign_cells_gemm(
     return df.mapInPandas(gen, schema)
 
 
+def assign_cells_coarse(
+    df: DataFrame,
+    cents_normed: list[list[float]],
+    n: int,
+    vec_col: str,
+    out_col: str = "cells",
+    n_probe_groups: int = 3,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """APPROXIMATE two-level cell assignment — the coarse-quantizer
+    trick FAISS uses when the cell count reaches deployment sizing
+    (SemDeDup's 110k clusters): even a single GEMM against all k
+    centroids is n·k·d flops, and at 10^10 docs × 10^5 cells that is
+    the dominant cost of the whole dedup. Here the k centroids are
+    grouped DRIVER-side into ~√k coarse groups (numpy k-means over the
+    centroids themselves — k is small, this costs nothing at scale);
+    each batch row scores the √k group representatives, keeps its
+    ``n_probe_groups`` best groups, and runs the exact pinned argmax
+    only against those groups' member centroids — ~(n_probe_groups/√k)
+    of the full GEMM's flops.
+
+    DEVIATION CONTRACT (why this is not on the oracle surface): the
+    result differs from ``assign_cells_gemm`` exactly when a vector's
+    true nearest cell lives in a group outside its top
+    ``n_probe_groups`` — a boundary-vector miss, the standard
+    coarse-quantizer recall trade. Per-cell keys, the 1e-9 pin, and
+    the (dot DESC, cell DESC) tie rule are identical to the exact
+    form, so agreement is deterministic and measured (sf0.01 embeddings,
+    32 cells / 5 groups: top-1 agreement 0.874 / 0.946 / 0.99 at
+    n_probe_groups 2 / 3 / 4 — test pins ≥0.9 at the default 3; at
+    deployment sizing the probed fraction p/√k is far smaller, so
+    tune n_probe_groups against a measured agreement sample). Use the
+    exact form for oracle-checked queries; use this one when k·d makes
+    the exact form the bottleneck."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    C = np.array(cents_normed, dtype=np.float64)
+    k = len(C)
+    g = n_groups if n_groups is not None else max(1, int(_math.isqrt(k)))
+    g = min(g, k)
+    # deterministic numpy k-means over the CENTROIDS (seed = first g,
+    # 3 Lloyd rounds, same pin + tie rules as the distributed form)
+    reps = C[:g].copy()
+    for _ in range(3):
+        s = C @ reps.T
+        s = np.sign(s) * np.floor(np.abs(s) * 1e9 + 0.5) / 1e9
+        assign = np.argsort(s, axis=1, kind="stable")[:, ::-1][:, 0]
+        for j in range(g):
+            members = C[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                m = np.sign(m) * np.floor(np.abs(m) * 1e9 + 0.5) / 1e9
+                nrm = np.sqrt((m * m).sum()) or 1.0
+                reps[j] = m / nrm
+    s = C @ reps.T
+    s = np.sign(s) * np.floor(np.abs(s) * 1e9 + 0.5) / 1e9
+    group_of = np.argsort(s, axis=1, kind="stable")[:, ::-1][:, 0]
+    members_idx = [np.nonzero(group_of == j)[0] for j in range(g)]
+    p = min(n_probe_groups, g)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            b = len(mat)
+            sg = mat @ reps.T
+            sg = np.sign(sg) * np.floor(np.abs(sg) * 1e9 + 0.5) / 1e9
+            top_groups = np.argsort(sg, axis=1, kind="stable")[:, ::-1][:, :p]
+            # per candidate group: one GEMM over the rows probing it,
+            # merged into per-row (key, cell) pools — rows only ever
+            # score member centroids of their own top-p groups
+            pool_keys = np.full((b, 0), -np.inf)
+            pool_cells = np.full((b, 0), -1, dtype=np.int64)
+            for j in range(g):
+                rows = np.nonzero((top_groups == j).any(axis=1))[0]
+                mem = members_idx[j]
+                if not len(rows) or not len(mem):
+                    continue
+                sj = mat[rows] @ C[mem].T
+                sj = np.sign(sj) * np.floor(np.abs(sj) * 1e9 + 0.5) / 1e9
+                w = sj.shape[1]
+                keys = np.full((b, w), -np.inf)
+                cells = np.full((b, w), -1, dtype=np.int64)
+                keys[rows] = sj
+                cells[rows] = mem
+                pool_keys = np.concatenate([pool_keys, keys], axis=1)
+                pool_cells = np.concatenate([pool_cells, cells], axis=1)
+            # top-n by (key DESC, cell DESC) from each row's pool
+            out = []
+            for i in range(b):
+                ki, ci = pool_keys[i], pool_cells[i]
+                valid = ci >= 0
+                ki, ci = ki[valid], ci[valid]
+                order = np.lexsort((ci, ki))[::-1][:n]
+                out.append(ci[order].astype("int32").tolist())
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
