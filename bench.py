@@ -71,7 +71,10 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def crawl_bench(spark, sf: float, cpus: int, seen_backend: str = "bloom") -> dict:
+def crawl_bench(
+    spark, sf: float, cpus: int, seen_backend: str = "bloom",
+    neardup: bool = False,
+) -> dict:
     from fundamental_spark.crawl.runner import CrawlRunner
     from fundamental_spark.synth.site import build_site, spec_web_rows, web_rows
 
@@ -106,6 +109,8 @@ def crawl_bench(spark, sf: float, cpus: int, seen_backend: str = "bloom") -> dic
             spider_type="active",
             use_bloom=True,
             seen_backend=seen_backend,
+            neardup_dedup=neardup,
+            neardup_threshold=0.5,
         )
         seeds = [(site.search_url(c, 1), c) for c in site.cities]
         m0 = _metrics_snapshot(spark)
