@@ -103,3 +103,49 @@ def test_crawl_wave_neardup_hook(spark, tmp_path):
     }
     assert want, "equality pin must not be vacuous"
     assert got == want
+
+
+def test_crawl_neardup_with_compaction(spark, tmp_path):
+    """The hook's re-read-every-wave tables (documents, neardup_bands)
+    joined the per-wave compaction list in round 6 — a crawl with
+    compact_every=2 must still satisfy the full-corpus pair equality
+    and lose no band/document rows to the rewrite."""
+    from fundamental_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        plan_minhash_config,
+    )
+
+    site = build_site(seed=11, cities=("gouda",), listings_per_city=18,
+                      page_size=6, clone_every=5)
+    web = spark.createDataFrame(web_rows(site), "url string, html string")
+    thr = 0.6
+    runner = CrawlRunner(
+        spark=spark,
+        warehouse_root=str(tmp_path / "wh"),
+        web=web,
+        neardup_dedup=True,
+        neardup_threshold=thr,
+        compact_every=2,
+    )
+    runner.init([(site.search_url(c, 1), c) for c in site.cities])
+    waves = runner.run()
+    assert waves > 1
+    texts = CrawlRunner._doc_text(runner.table("documents")).select(
+        "doc_id", "text"
+    )
+    n_docs = texts.count()
+    cfg = plan_minhash_config(thr)
+    k, bands = cfg if cfg is not None else (64, 16)
+    idx = runner.table("neardup_bands")
+    assert idx.count() == n_docs * bands
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in runner.table("neardup_pairs").collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            texts, threshold=thr, k=k, bands=bands, allow_low_recall=True
+        ).collect()
+    }
+    assert want and got == want
