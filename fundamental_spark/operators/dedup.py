@@ -27,7 +27,23 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint
 
 MERSENNE61 = (1 << 61) - 1
+P31 = (1 << 31) - 1  # prime 2^31 - 1: a*h < 2^61 fits int64, wraps ~2^30 times
 _A_SEED = 0x9E3779B97F4A7C15
+
+# Signature mixing modes (round 7). "wrap31" is the DEFAULT and the
+# statistically valid construction: with a < 2^30 and h < 2^31 the
+# product a*h reaches ~2^61, so pmod(a*h + b, P31) wraps ~2^30 times
+# and the k positions are genuinely independent hashes of each
+# shingle — the banded capture model 1-(1-j^r)^b holds. "affine61" is
+# the round-3..6 legacy construction kept ONLY for the two frozen
+# DuckDB-oracle queries (dedup_minhash_lsh / dedup_minhash_incremental
+# in queries.py): a*h+b < 2^61 never exceeds MERSENNE61, the mod is the
+# identity, min commutes with the monotone affine map, and every
+# position is a function of the single argmin shingle — banded capture
+# degenerates to exactly j (round-6 verdict #1). Do not use "affine61"
+# for new work; it exists so the registered oracle SQL (which unrolls
+# the legacy arithmetic) stays bit-identical.
+_MIXINGS = ("wrap31", "affine61")
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -154,6 +170,7 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, k: int = 64, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    mixing: str = "wrap31",
 ) -> DataFrame:
     """One row per doc with mh0..mh{k-1} — explode the shingle set,
     hash + affine-transform in WHOLE-STAGE CODEGEN, and take the k
@@ -174,7 +191,15 @@ def minhash_signatures(
     The base shingle hash is the md5-derived 60-bit hash mod 2^31 (not
     xxhash64) so the ENTIRE signature pipeline is reproducible in
     DuckDB — minhash-LSH gets a full cross-engine oracle, like SimHash
-    and winnowing."""
+    and winnowing.
+
+    ``mixing`` selects the per-position hash (see _MIXINGS above):
+    "wrap31" (default) = pmod(a_i*h + b_i, 2^31-1), independent
+    positions, valid banded-capture statistics; "affine61" = the
+    degenerate legacy arithmetic the two frozen oracle queries pin."""
+    if mixing not in _MIXINGS:
+        raise ValueError(f"unknown mixing {mixing!r}; one of {_MIXINGS}")
+    mod = P31 if mixing == "wrap31" else MERSENNE61
     ex = spread(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
@@ -184,7 +209,7 @@ def minhash_signatures(
     )
     return ex.groupBy("doc").agg(
         *[
-            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE61))).alias(
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(mod))).alias(
                 f"mh{i}"
             )
             for i, (a, b) in enumerate(_mh_constants(k))
@@ -274,6 +299,7 @@ def minhash_lsh_pairs(
     allow_low_recall: bool = False,
     verify_plan: str = "auto",
     join_verify_min: int | None = None,
+    mixing: str = "wrap31",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs. Candidates collide in ≥1 band of
     r=k/bands rows; with verify_exact the candidates are confirmed with
@@ -332,7 +358,9 @@ def minhash_lsh_pairs(
                 f"{cap:.2f} of pairs at jaccard {threshold}; pass "
                 f"allow_low_recall=True to run it anyway"
             )
-    sigs = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(
+        docs, k=k, n=n, id_col=id_col, text_col=text_col, mixing=mixing
+    )
     # explicit repartition: the signature agg's output is tiny (one row
     # per doc), so AQE's size-based coalescing collapses it to 1-2
     # partitions — and the band self-join below is size-EXPANDING (it
@@ -858,6 +886,7 @@ def minhash_incremental_pairs(
     allow_low_recall: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mixing: str = "wrap31",
 ) -> DataFrame:
     """Delta dedup — near-dup pairs TOUCHING the new ingest slice only
     (``new_filter``, a boolean Column over ``docs``): the shape a
@@ -891,7 +920,9 @@ def minhash_incremental_pairs(
     par = docs.sparkSession.sparkContext.defaultParallelism
     flags = docs.select(F.col(id_col).alias("doc"), new_filter.alias("is_new"))
     sigs = (
-        minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+        minhash_signatures(
+            docs, k=k, n=n, id_col=id_col, text_col=text_col, mixing=mixing
+        )
         .join(flags, "doc")
         .repartition(par)  # AQE-collapse guard before the expanding join
     )
@@ -990,6 +1021,7 @@ def minhash_band_table(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mixing: str = "wrap31",
 ) -> DataFrame:
     """The STORED band index a delta-ingest pipeline maintains across
     runs: (doc, band_idx, band_hash), one row per (doc, band). Built
@@ -999,7 +1031,9 @@ def minhash_band_table(
     ``minhash_probe_band_index`` and appends its own delta's rows."""
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(
+        docs, k=k, n=n, id_col=id_col, text_col=text_col, mixing=mixing
+    )
     band_cols = [
         F.concat_ws("-", *[F.col(f"mh{band * r + j}") for j in range(r)]).alias(
             f"band{band}"
@@ -1026,6 +1060,7 @@ def minhash_probe_band_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     new_bands: DataFrame | None = None,
+    mixing: str = "wrap31",
 ) -> DataFrame:
     """Probe a STORED band index with an ingest delta — the production
     sibling of ``minhash_incremental_pairs`` (which derives its index
@@ -1057,7 +1092,8 @@ def minhash_probe_band_index(
     par = new_docs.sparkSession.sparkContext.defaultParallelism
     if new_bands is None:
         new_bands = minhash_band_table(
-            new_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
+            new_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col,
+            mixing=mixing,
         )
     # AQE-collapse guard before the expanding join
     new_bands = new_bands.repartition(par)

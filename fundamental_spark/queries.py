@@ -1141,13 +1141,21 @@ _MH_BANDS = " UNION ALL ".join(
     """,
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documented candidate-generation operating point: (64, 16) bands
-    captures ~1-(1-j⁴)¹⁶ of pairs at jaccard j (≥0.9 only for j ≥ ~0.5)
-    — `allow_low_recall=True` states that on purpose; the
+    """Documented candidate-generation operating point, pinned to the
+    LEGACY "affine61" signature arithmetic because the DuckDB oracle
+    above unrolls exactly that arithmetic (frozen since round 3).
+    Round-6 verdict #1: under affine61 every signature position is a
+    monotone function of the argmin shingle, so the banded capture is
+    exactly j — NOT the 1-(1-j⁴)¹⁶ curve the banding model promises.
+    This query therefore documents a candidate-generation operating
+    point of the legacy construction only; production near-dup paths
+    (crawl hook, streaming drain, auto dispatcher) use the default
+    "wrap31" mixing whose capture model is valid (dedup.py _MIXINGS).
+    `allow_low_recall=True` states the under-recall on purpose; the
     recall-guaranteed dispatcher is dedup_minhash_auto."""
     return minhash_lsh_pairs(
         T(spark, sf_dir, "documents"), threshold=0.1, k=64, bands=16,
-        allow_low_recall=True,
+        allow_low_recall=True, mixing="affine61",
     )
 
 
@@ -2915,13 +2923,16 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe carries only new docs against the full index, and the
     verify-stage shingle arrays build only for candidate-involved
     docs. Oracle = the full-corpus banding SQL with a touch-new
-    predicate (identical pair set by construction)."""
+    predicate (identical pair set by construction). Pinned to the
+    legacy "affine61" mixing the frozen oracle unrolls (see
+    dedup_minhash_lsh_q)."""
     from .operators.dedup import minhash_incremental_pairs
 
     return minhash_incremental_pairs(
         T(spark, sf_dir, "documents"),
         new_filter=F.col("doc_id") % 10 == 0,
         threshold=0.1, k=64, bands=16, allow_low_recall=True,
+        mixing="affine61",
     )
 
 
