@@ -60,6 +60,37 @@ def test_ngram_jaccard_finds_planted_pairs(planted):
     assert ("dup_a", "near_a") in pairs and pairs[("dup_a", "near_a")] > 0.8
 
 
+def test_ngram_jaccard_plans_bit_identical(planted):
+    """Round-7: the blocked numpy plan (postings merge + bincount per
+    block pair) must reproduce the inverted-index join bit-for-bit —
+    same pairs, same rounded jaccard — at several thresholds,
+    including sub-block corpora where one task sees everything."""
+    for thr in (0.1, 0.5):
+        idx = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(planted, threshold=thr, plan="index").collect()
+        )
+        blk = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(planted, threshold=thr, plan="blocked").collect()
+        )
+        assert idx == blk and idx, thr
+    # tiny block size forces real cross-block pairs through the flip path
+    blk_small = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            planted, threshold=0.1, plan="blocked", block_rows=8
+        ).collect()
+    )
+    idx_small = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(planted, threshold=0.1, plan="index").collect()
+    )
+    assert blk_small == idx_small
+    with pytest.raises(ValueError, match="unknown plan"):
+        ngram_jaccard_pairs(planted, plan="nope").collect()
+
+
 def test_minhash_lsh_recall_and_estimate(planted):
     exact = {
         (r["doc_a"], r["doc_b"])
