@@ -139,6 +139,23 @@ def _shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     )
 
 
+def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, h): one row per distinct shingle with its 60-bit hash —
+    the shared input of the signature agg and the verify-array agg.
+    The regex shingling + md5 pass is the expensive part of every
+    minhash plan; callers that need both aggs should compute this once
+    (localCheckpoint) and pass it to minhash_signatures(hashes=...) /
+    _verify_candidate_pairs(hashes=...)."""
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .select("doc", _md5_hash60(F.col("sh")).alias("h"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.1,
@@ -340,6 +357,7 @@ def minhash_signatures(
     docs: DataFrame, k: int = 64, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
     mixing: str = "wrap31",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with mh0..mh{k-1} — explode the shingle set,
     hash + affine-transform in WHOLE-STAGE CODEGEN, and take the k
@@ -365,17 +383,19 @@ def minhash_signatures(
     ``mixing`` selects the per-position hash (see _MIXINGS above):
     "wrap31" (default) = pmod(a_i*h + b_i, 2^31-1), independent
     positions, valid banded-capture statistics; "affine61" = the
-    degenerate legacy arithmetic the two frozen oracle queries pin."""
+    degenerate legacy arithmetic the two frozen oracle queries pin.
+
+    ``hashes``: optional precomputed (doc, h) 60-bit shingle-hash
+    table (_shingle_hashes) — pass a checkpointed one when the caller
+    also verifies candidates, so the corpus is shingled once."""
     if mixing not in _MIXINGS:
         raise ValueError(f"unknown mixing {mixing!r}; one of {_MIXINGS}")
     mod = P31 if mixing == "wrap31" else MERSENNE61
-    ex = spread(docs).select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
-    ).withColumn(
-        # bound the base hash to 2^31 so a*h fits int64 under ANSI
-        "h", F.pmod(_md5_hash60(F.col("sh")), F.lit(1 << 31))
+    base = hashes if hashes is not None else _shingle_hashes(
+        docs, id_col=id_col, text_col=text_col, n=n
     )
+    # bound the base hash to 2^31 so a*h fits int64 under ANSI
+    ex = base.select("doc", F.pmod(F.col("h"), F.lit(1 << 31)).alias("h"))
     return ex.groupBy("doc").agg(
         *[
             F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(mod))).alias(
@@ -527,6 +547,12 @@ def minhash_lsh_pairs(
                 f"{cap:.2f} of pairs at jaccard {threshold}; pass "
                 f"allow_low_recall=True to run it anyway"
             )
+    # NOTE (round 7): sharing one checkpointed (doc, h) exploded table
+    # between the signature agg and the verify agg was measured SLOWER
+    # (materializing 2.6M exploded rows cost 46 s executor time vs the
+    # ~31 s codegen'd fused scan+agg pass it replaced, and both
+    # downstream aggs lose whole-stage fusion with the scan) — so the
+    # two aggs intentionally re-run the fused shingle pipeline.
     sigs = minhash_signatures(
         docs, k=k, n=n, id_col=id_col, text_col=text_col, mixing=mixing
     )
@@ -537,7 +563,16 @@ def minhash_lsh_pairs(
     # whole candidate multiset nearly single-threaded (measured 85 s vs
     # 13 s candidate generation on a dense corpus). Same pattern as the
     # crawl fetch join (runner.py): re-spread BEFORE the expansion.
-    sigs = sigs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # The eager localCheckpoint materializes the signature table ONCE
+    # (one row of 65 values per doc — MBs): the band self-join below
+    # consumes `stacked` on both sides, and Spark duplicates the whole
+    # shingle→md5→64-min pipeline per side (exchange reuse cannot fire
+    # because column pruning gives the two sides different canonical
+    # plans) — measured as two full ~26 s-executor-time corpus passes
+    # at sf1.0 (round 7). Same pattern as connected_components.
+    sigs = sigs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     # band key = the r signature values verbatim (concat-joined), NOT a
     # hash of them: exact tuple equality has no collision-induced extra
     # candidates and is reproducible in DuckDB (full oracle)
@@ -586,14 +621,7 @@ def minhash_lsh_pairs(
         # codegen explode-join intersection count — the oracle's cinter
         # CTE shape. Shingles are distinct per doc (word_shingles is
         # array_distinct), so COUNT(*) of hash matches == |∩| exactly.
-        ex = (
-            spread(docs)
-            .select(
-                F.col(id_col).alias("doc"),
-                F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
-            )
-            .select("doc", _md5_hash60(F.col("sh")).alias("h"))
-        )
+        ex = _shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
         sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
         inter = (
             cands.join(ex.select(F.col("doc").alias("doc_a"), "h"), "doc_a")
@@ -629,39 +657,16 @@ def minhash_lsh_pairs(
     # the entire md5-keyed signature pipeline (and its DuckDB oracle)
     # already rests on. (The round-2 implementation materialized the
     # full exact-Jaccard pair table, defeating the LSH entirely.)
-    hsz = (
-        spread(docs)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
-        )
-        .select("doc", _md5_hash60(F.col("sh")).alias("h"))
-        .groupBy("doc")
-        .agg(F.collect_list("h").alias("hs"), F.count("*").alias("n_sh"))
-    )
-    a_sh = hsz.select(
-        F.col("doc").alias("doc_a"), F.col("hs").alias("sh_a"),
-        F.col("n_sh").alias("na"),
-    )
-    b_sh = hsz.select(
-        F.col("doc").alias("doc_b"), F.col("hs").alias("sh_b"),
-        F.col("n_sh").alias("nb"),
-    )
-    scored = (
-        cands.join(a_sh, "doc_a")
-        .join(b_sh, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            "na",
-            "nb",
-        )
-    )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        scored.filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    # Round 7: delegates to _verify_candidate_pairs, which (a) builds
+    # the hash arrays ONLY for candidate-involved docs (the former
+    # full-corpus collect_list agg paid one extra whole-shingle pass —
+    # the docstring's candidate-proportional claim now holds; the
+    # candidate subtree is shared via exchange reuse) and (b)
+    # repartitions the joined pairs before the interpreted
+    # array_intersect so AQE's size-based coalescing cannot serialize
+    # the verify onto 1 task (measured 8.5 s single-task at sf1.0).
+    return _verify_candidate_pairs(
+        cands, docs, threshold=threshold, n=n, id_col=id_col, text_col=text_col
     )
 
 
@@ -714,12 +719,18 @@ def winnow_pairs(
         # whole gram→hash→winnow pipeline a second time (measured +75%
         # at the 10× leg), while the window's hash-partition on fp is
         # the exact partitioning the self-join below needs anyway — one
-        # pass, one shuffle, reused by the join
+        # pass, one shuffle, reused by the join. The repartition is
+        # EXPLICIT (user-specified partition count) so AQE's size-based
+        # coalescing cannot collapse the small-byte exchange to 1 task
+        # and serialize the window sort + join map side (measured 5.0 s
+        # single-task at sf1.0, round 7).
         from pyspark.sql import Window
 
+        par = docs.sparkSession.sparkContext.defaultParallelism
         w = Window.partitionBy("fp")
         fps = (
-            fps.withColumn("_df", F.count("*").over(w))
+            fps.repartition(par, "fp")
+            .withColumn("_df", F.count("*").over(w))
             .filter(F.col("_df") <= max_fp_df)
             .drop("_df")
         )
@@ -1094,6 +1105,10 @@ def minhash_incremental_pairs(
         )
         .join(flags, "doc")
         .repartition(par)  # AQE-collapse guard before the expanding join
+        # materialize once: `stacked` feeds both the probe side and the
+        # index side of the band join, which would otherwise re-run the
+        # whole signature pipeline per side (see minhash_lsh_pairs)
+        .localCheckpoint(eager=True)
     )
     band_cols = [
         F.concat_ws("-", *[F.col(f"mh{band * r + j}") for j in range(r)]).alias(
@@ -1136,28 +1151,49 @@ def _verify_candidate_pairs(
     n: int,
     id_col: str,
     text_col: str,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
     shingle arrays are built ONLY for docs appearing in a candidate
     (semi-join before the collect_list agg), so the verify cost is
-    O(candidate docs), never O(corpus)."""
+    O(candidate docs), never O(corpus).
+
+    The pair frame is explicitly repartitioned between the (cheap)
+    hash joins and the (expensive, interpreted) per-pair
+    array_intersect: the joined bytes are small, so AQE's size-based
+    coalescing would otherwise run the whole intersect loop on 1-2
+    tasks (measured 8.5 s single-task at sf1.0, round 7); the
+    round-robin exchange costs ~the array bytes once and buys the full
+    session parallelism for the HOF evaluation.
+
+    The candidate frame is materialized ONCE (eager localCheckpoint —
+    pair rows only, small by construction): it is consumed twice below
+    (``involved`` prune + the verify join), and without the checkpoint
+    Spark re-executes the entire candidate-generation subtree per
+    consumer — column pruning gives each consumer a different
+    canonical plan, so exchange reuse cannot deduplicate them
+    (measured: two extra full corpus passes at sf1.0, round 7)."""
+    cands = cands.localCheckpoint(eager=True)
     involved = (
         cands.select(F.col("doc_a").alias("doc"))
         .unionByName(cands.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    docs_inv = docs.join(
-        involved.withColumnRenamed("doc", id_col), id_col, "left_semi"
-    )
-    hsz = (
-        spread(docs_inv)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    if hashes is not None:
+        hs_src = hashes.join(involved, "doc", "left_semi")
+    else:
+        docs_inv = docs.join(
+            involved.withColumnRenamed("doc", id_col), id_col, "left_semi"
         )
-        .select("doc", _md5_hash60(F.col("sh")).alias("h"))
-        .groupBy("doc")
+        hs_src = _shingle_hashes(docs_inv, id_col=id_col, text_col=text_col, n=n)
+    # materialized once: a_sh and b_sh below are two different
+    # projections of this table, and without the checkpoint each
+    # broadcast build re-runs the whole semi-join + shingle + agg
+    # subtree (measured as two full corpus passes at sf1.0)
+    hsz = (
+        hs_src.groupBy("doc")
         .agg(F.collect_list("h").alias("hs"), F.count("*").alias("n_sh"))
+        .localCheckpoint(eager=True)
     )
     a_sh = hsz.select(
         F.col("doc").alias("doc_a"), F.col("hs").alias("sh_a"), F.col("n_sh").alias("na")
@@ -1165,9 +1201,20 @@ def _verify_candidate_pairs(
     b_sh = hsz.select(
         F.col("doc").alias("doc_b"), F.col("hs").alias("sh_b"), F.col("n_sh").alias("nb")
     )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # repartition the PAIRS before the joins (a projection placed after
+    # a trailing repartition gets pushed below it, so the exchange must
+    # come first), and broadcast the array sides explicitly: the hash
+    # joins then preserve the round-robin partitioning and the
+    # interpreted intersect runs at full parallelism. The broadcast is
+    # safe by construction — hsz holds only candidate-INVOLVED docs
+    # (≤ 2·|cands|), the side this operator's whole design keeps small;
+    # a candidate set too big to broadcast its arrays is one whose
+    # banding config has already failed (background pruning lost).
     scored = (
-        cands.join(a_sh, "doc_a")
-        .join(b_sh, "doc_b")
+        cands.repartition(par)
+        .join(F.broadcast(a_sh), "doc_a")
+        .join(F.broadcast(b_sh), "doc_b")
         .select(
             "doc_a",
             "doc_b",

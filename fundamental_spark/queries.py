@@ -82,7 +82,34 @@ from .operators.similarity import (
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one input table, spread to the session's parallelism.
+
+    Small single-file tables split into ~size/4MB scan partitions
+    (spark.sql.files.openCostInBytes floors the split size), so at
+    bench scale the 5.7MB documents table scans as 2 partitions and
+    every heavy row-wise expression over it (regex tokenization, md5
+    shingling, HOF lambdas) runs on 2 of the session's cores — stage
+    profiles showed 2-task 3.5s-CPU stages across the text-pipeline
+    queries (round 7). Repartitioning up front is a no-op at cluster
+    scale (scans already split into >= cores partitions) and costs one
+    small exchange here; it is the same rule as operators.*.spread,
+    applied centrally so every text/stream query starts parallel.
+
+    ONLY documents and events are spread: their per-row work dominates
+    and their operators already re-spread internally (so the oracle
+    parity of every float aggregate over them is pinned under
+    repartitioned input at all three SFs). The TPC tables are NOT
+    spread — their queries are scan+aggregate (lineitem already splits
+    to >= cores), and repartitioning them changes float partial-sum
+    order: measured at sf0.001, AVG(p_retailprice) under a round-robin
+    repartition of `part` flips a ROUND(..,2) boundary in rooms_impact
+    / room_premium vs the DuckDB oracle."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "events"):
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
