@@ -244,6 +244,14 @@ def ngram_jaccard_pairs(
         .groupBy("doc")
         .agg(F.collect_list("h").alias("hs"))
     )
+    # Block payloads are FLAT columns (ids, per-doc lengths, one
+    # concatenated hash array), not an array of (id, hashes) structs:
+    # Arrow hands each cell to Python as a single numpy-convertible
+    # array, so a task's unpack is three np.asarray calls instead of
+    # ~2k per-record struct accesses + concatenates — the struct form
+    # measured ~2 s of Python per task (run>>cpu in the stage profile).
+    # The three transforms decompose ONE collect_list, so the per-doc
+    # order of ids/lens/flat is consistent by construction.
     blocks = (
         hsz.select(
             F.pmod(F.xxhash64(F.col("doc")), F.lit(nblocks)).cast("int").alias("blk"),
@@ -251,26 +259,41 @@ def ngram_jaccard_pairs(
         )
         .groupBy("blk")
         .agg(F.collect_list("rec").alias("recs"))
+        .select(
+            "blk",
+            F.transform("recs", lambda r: r["id"]).alias("ids"),
+            F.transform("recs", lambda r: F.size(r["hs"])).alias("lens"),
+            F.flatten(F.transform("recs", lambda r: r["hs"])).alias("flat"),
+        )
     )
     pair_meta = sess.createDataFrame(
         [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
         "blk_a int, blk_b int",
     )
-    tasks = (
-        pair_meta.join(
-            blocks.select(F.col("blk").alias("blk_a"), F.col("recs").alias("recs_a")),
-            "blk_a",
-        )
-        .join(
-            blocks.select(F.col("blk").alias("blk_b"), F.col("recs").alias("recs_b")),
-            "blk_b",
-        )
-        # AQE-collapse guard before the expanding work (same rule as
-        # the band joins / embedding GEMM): the block table is tiny in
-        # rows, so without the respread the whole Σ df² expansion runs
-        # in 1-2 tasks
-        .repartition(min(nblocks * (nblocks + 1) // 2, 4 * par))
+    a_side = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("lens").alias("lens_a"), F.col("flat").alias("flat_a"),
     )
+    b_side = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("lens").alias("lens_b"), F.col("flat").alias("flat_b"),
+    )
+    # Fan the TINY pair-meta out to the task count FIRST, then attach
+    # the block payloads by broadcast: the exchange carries two ints
+    # per task and each block's bytes move to the workers exactly once
+    # (guide §8 — decide with small rows, move big rows once). Letting
+    # the planner shuffle-join here instead ships every block once PER
+    # PAIR through the exchange: measured 521 MB shuffled and 25 s of
+    # fetch+deserialize at sf1.0 vs ~20 MB broadcast. The broadcast is
+    # gated on corpus size (hash arrays are O(corpus)); past the gate
+    # the plain join keeps the operator correct in its degraded mode —
+    # but an exact all-pairs jaccard at >1M docs is compute-infeasible
+    # anyway (Σ df² pair increments), and the banded/winnow paths are
+    # the scale plans.
+    ntasks = min(nblocks * (nblocks + 1) // 2, 4 * par)
+    if n_docs * 64 * 8 <= 512 * 1024 * 1024:  # ≲1M docs: blocks broadcast
+        a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
+    tasks = pair_meta.repartition(ntasks).join(a_side, "blk_a").join(b_side, "blk_b")
 
     def _expand(starts, counts):
         """Concatenated [start, start+count) ranges, vectorized."""
@@ -283,27 +306,25 @@ def ngram_jaccard_pairs(
         out[ends[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
         return np.cumsum(out)
 
-    def _unpack(recs):
-        ids = np.array([r["id"] for r in recs])
-        lens = np.array([len(r["hs"]) for r in recs], dtype=np.int64)
-        flat = (
-            np.concatenate([np.asarray(r["hs"], dtype=np.int64) for r in recs])
-            if len(recs)
-            else np.empty(0, dtype=np.int64)
-        )
-        rows = np.repeat(np.arange(len(recs), dtype=np.int64), lens)
+    def _unpack(ids_cell, lens_cell, flat_cell):
+        ids = np.asarray(ids_cell)
+        lens = np.asarray(lens_cell, dtype=np.int64)
+        flat = np.asarray(flat_cell, dtype=np.int64)
+        rows = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
         order = np.argsort(flat, kind="stable")
         return ids, lens, flat[order], rows[order]
 
     def score(batches):
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                ids_a, lens_a, sha, ra = _unpack(row.recs_a)
+                ids_a, lens_a, sha, ra = _unpack(row.ids_a, row.lens_a, row.flat_a)
                 same = row.blk_a == row.blk_b
                 if same:
                     ids_b, lens_b, shb, rb = ids_a, lens_a, sha, ra
                 else:
-                    ids_b, lens_b, shb, rb = _unpack(row.recs_b)
+                    ids_b, lens_b, shb, rb = _unpack(
+                        row.ids_b, row.lens_b, row.flat_b
+                    )
                 ua, ia, ca = np.unique(sha, return_index=True, return_counts=True)
                 ub, ib, cb = np.unique(shb, return_index=True, return_counts=True)
                 _, xa, xb = np.intersect1d(ua, ub, assume_unique=True, return_indices=True)

@@ -683,11 +683,16 @@ def dsir_weights(
     ~1 ulp in both; a flip would need the true value within 1e-16 of
     the 5e-7 grid — negligible and caught by the oracle if ever hit).
 
-    Plan: one codegen gram pass, two map-side-combinable bucket-count
-    aggs; the O(n_buckets) ratio table is collected to the driver
-    (bounded, like IVF centroids), re-emitted as a broadcast literal
-    table, and joined back to per-doc bucket counts — the raw corpus
-    itself is touched twice and never collected.
+    Plan (round 7): ONE codegen gram pass folded into the per-doc
+    bucket-count agg, materialized once (eager localCheckpoint of the
+    compact (doc, b, c) table — ~min(feats, n_buckets) rows per doc);
+    the global per-bucket totals the ratio table needs are then a
+    cheap re-aggregation of that checkpoint instead of a second full
+    explode+md5 pass over the corpus (the previous shape ran the gram
+    pipeline twice — measured 26.8 s + 19.2 s executor time at sf1.0).
+    The O(n_buckets) ratio table is collected to the driver (bounded,
+    like IVF centroids), re-emitted as a broadcast literal table, and
+    joined back to the checkpointed per-doc counts.
 
     Returns (doc_id, source, n_feats, logw_micro)."""
     import math
@@ -716,11 +721,18 @@ def dsir_weights(
         "is_target",
         F.pmod(_md5_hash60(F.col("g")), F.lit(n_buckets)).cast("int").alias("b"),
     )
+    per_bucket = (
+        feats.groupBy("doc", "source", "is_target", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     counts = (
-        feats.groupBy("b")
+        per_bucket.groupBy("b")
         .agg(
-            F.count("*").alias("c_raw"),
-            F.sum(F.col("is_target").cast("bigint")).alias("c_tgt"),
+            F.sum("c").alias("c_raw"),
+            F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias(
+                "c_tgt"
+            ),
         )
         .collect()
     )
@@ -734,7 +746,6 @@ def dsir_weights(
         qq = (c_raw.get(b, 0) + 1.0) / (n_raw + n_buckets)
         ratio_rows.append((b, math.floor(1e6 * math.log(p / qq) + 0.5)))
     ratios = base.sparkSession.createDataFrame(ratio_rows, "b int, r_micro bigint")
-    per_bucket = feats.groupBy("doc", "source", "b").agg(F.count("*").alias("c"))
     return (
         per_bucket.join(F.broadcast(ratios), "b")
         .groupBy("doc", "source")

@@ -486,9 +486,12 @@ def kmeans_centroids(
     aggregation — the component matrix that reaches the driver is only
     n_centroids × dim. Empty cells keep their previous centroid.
     Returns unit-normalized centroids (cosine geometry)."""
+    # materialized once: every Lloyd round (and the seed collect) scans
+    # this small (id, float64-vector) frame — without the checkpoint
+    # each round re-runs the parquet scan + cast pipeline (round 7)
     base = spread(corpus).select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
-    )
+    ).localCheckpoint(eager=True)
     cents = [
         _unit([float(x) for x in r["v"]])
         for r in base.orderBy("id").limit(n_centroids).collect()
@@ -773,6 +776,12 @@ def embedding_near_dup_gemm(
     # doubles) and (b) the pair fan-out B(B+1)/2 covers the cores
     nblocks = max(math.ceil(n / block_rows), math.ceil(math.sqrt(2 * par)))
 
+    # Block payloads are FLAT columns (ids + one concatenated float64
+    # array), not an array of (id, vector) structs: Python-side unpack
+    # becomes one np.asarray + reshape instead of thousands of
+    # per-record struct accesses (round 7 — same change as the blocked
+    # jaccard plan in dedup.py; the two transforms decompose ONE
+    # collect_list so id/vector order is consistent by construction).
     blocks = (
         spread(corpus)
         .select(
@@ -783,6 +792,11 @@ def embedding_near_dup_gemm(
         )
         .groupBy("blk")
         .agg(F.collect_list("rec").alias("recs"))
+        .select(
+            "blk",
+            F.transform("recs", lambda r: r["id"]).alias("ids"),
+            F.flatten(F.transform("recs", lambda r: r["v"])).alias("flat"),
+        )
     )
     # block-pair metadata (ints only — never data) built driver-side;
     # each unordered row pair lands in exactly one (blk_a <= blk_b) task
@@ -792,11 +806,17 @@ def embedding_near_dup_gemm(
     )
     tasks = (
         pair_meta.join(
-            blocks.select(F.col("blk").alias("blk_a"), F.col("recs").alias("recs_a")),
+            blocks.select(
+                F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+                F.col("flat").alias("flat_a"),
+            ),
             "blk_a",
         )
         .join(
-            blocks.select(F.col("blk").alias("blk_b"), F.col("recs").alias("recs_b")),
+            blocks.select(
+                F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+                F.col("flat").alias("flat_b"),
+            ),
             "blk_b",
         )
         # the block table is tiny in ROWS (B of them), so AQE would
@@ -806,16 +826,16 @@ def embedding_near_dup_gemm(
         .repartition(min(nblocks * (nblocks + 1) // 2, 4 * par))
     )
 
-    def _unpack(recs):
-        ids = np.array([r["id"] for r in recs])
-        mat = np.array([r["v"] for r in recs], dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    def _unpack(ids_cell, flat_cell):
+        ids = np.asarray(ids_cell)
+        mat = np.asarray(flat_cell, dtype=np.float64).reshape(len(ids), -1)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return ids, mat
 
     def score(batches):
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                ids_a, ma = _unpack(row.recs_a)
+                ids_a, ma = _unpack(row.ids_a, row.flat_a)
                 if row.blk_a == row.blk_b:
                     sims = ma @ ma.T
                     # margin covers the JVM-side round(…,4): a raw cos
@@ -826,7 +846,7 @@ def embedding_near_dup_gemm(
                     )
                     lo, hi, cs = ids_a[ii], ids_a[jj], sims[ii, jj]
                 else:
-                    ids_b, mb = _unpack(row.recs_b)
+                    ids_b, mb = _unpack(row.ids_b, row.flat_b)
                     sims = ma @ mb.T
                     ii, jj = np.nonzero(sims >= threshold - 1e-4)
                     ia, ib, cs = ids_a[ii], ids_b[jj], sims[ii, jj]
@@ -1171,7 +1191,11 @@ def pq_codebooks(
     if dim == 0 or dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    base = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("rv"))
+    # materialized once: each training iteration's partials pass scans
+    # this frame (see kmeans_centroids — same rule, round 7)
+    base = spread(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("rv")
+    ).localCheckpoint(eager=True)
     # seeds via the JVM _unit_vec fold — bit-identical to the oracle's
     # eu CTE, and an empty cell's centroid survives iterations RAW
     # (unrounded), so the seed source must stay fold-exact cross-engine
