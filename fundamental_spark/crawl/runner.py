@@ -929,10 +929,12 @@ class CrawlRunner:
             v = self._versions.get(name)
             if v is not None and v - self.wh.compaction_floor(name) >= self.compact_every:
                 self.wh.compact_deltas(name, upto=v)
-        if debug:
-            print(f"[wave {wave}] " + " ".join(f"{k}={v}" for k, v in timings.items()), flush=True)
+        mark("commit_compact")
         for df in (selected, fetched, parsed, new_cands, transitioned):
             df.unpersist()
+        mark("unpersist")
+        if debug:
+            print(f"[wave {wave}] " + " ".join(f"{k}={v}" for k, v in timings.items()), flush=True)
         return True
 
     @staticmethod

@@ -1328,6 +1328,12 @@ def quality_lr_fit(
             b = g["b"]
         z = F.lit(b) + sum(F.lit(w[j]) * F.col(f"x{j+1}") for j in range(3))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        # materialize the one-row result WHILE the persisted features
+        # are still alive: the previous shape unpersisted in `finally`
+        # before the (lazy) returned aggregate ever ran, so the
+        # caller's action raced cache eviction and could re-run the
+        # whole feature+label pipeline from scratch (round 7 — observed
+        # as a 4.1 s vs 7.4 s run-to-run swing at sf1.0)
         return feats.agg(
             F.lit(w[0]).alias("w_stop"),
             F.lit(w[1]).alias("w_distinct"),
@@ -1338,6 +1344,6 @@ def quality_lr_fit(
             ),
             F.count("*").alias("n_docs"),
             F.sum(F.col("y").cast("bigint")).alias("n_pos"),
-        )
+        ).localCheckpoint(eager=True)
     finally:
         feats.unpersist(blocking=False)

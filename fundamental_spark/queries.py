@@ -1403,7 +1403,17 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/stateful.py): lag → new-session flag → running sum →
     per-session rollup. Classic stateful shape a training-data event
     pipeline needs; not in the reference."""
-    ev = T(spark, sf_dir, "events")
+    # explicit user_id repartition: AQE's size-based coalescing squeezes
+    # the window exchange (~17MB) onto 2 tasks and serializes the
+    # session sort (measured 1.7 s on 2 tasks at sf1.0, round 7); the
+    # explicit partition count keeps the window AND the downstream
+    # per-session agg (clustered on user_id) at full parallelism with
+    # no further exchange. Result-safe: the window sorts each user's
+    # rows by (ts, event_id), so per-session SUM(value) order is
+    # deterministic regardless of the input distribution.
+    ev = T(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.expr("INTERVAL 30 MINUTES")
     new_sess = F.when(
