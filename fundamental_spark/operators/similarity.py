@@ -1198,12 +1198,15 @@ def pq_codebooks(
     ).localCheckpoint(eager=True)
     # seeds via the JVM _unit_vec fold — bit-identical to the oracle's
     # eu CTE, and an empty cell's centroid survives iterations RAW
-    # (unrounded), so the seed source must stay fold-exact cross-engine
+    # (unrounded), so the seed source must stay fold-exact cross-engine.
+    # The fold runs AFTER the orderBy+limit (ksub rows), not before:
+    # projecting first paid the interpreted HOF over the whole corpus
+    # just to keep 16 rows (measured 15.4 s executor time at sf1.0).
     seeds = (
-        spread(corpus)
-        .select(F.col(id_col).alias("id"), _unit_vec(F.col(vec_col)).alias("u"))
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("rv"))
         .orderBy("id")
         .limit(ksub)
+        .select("id", _unit_vec(F.col("rv")).alias("u"))
         .collect()
     )
     if len(seeds) < ksub:

@@ -118,12 +118,14 @@ def test_assembly_tier_plans(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
-    # split assignment itself (pre-agg) is a pure projection: no exchange
+    # split assignment itself (pre-agg) is a pure projection: no
+    # exchange OF ITS OWN. Pinned on the raw read — round 7's T()
+    # deliberately spreads small `documents` scans with one up-front
+    # repartition (an input-preparation exchange, not a with_split one)
     from fundamental_spark.operators.pipeline import with_split
-    from fundamental_spark.queries import T
 
     split_plan = (
-        with_split(T(spark, SF, "documents"))
+        with_split(spark.read.parquet(f"{SF}/documents.parquet"))
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in split_plan
@@ -133,7 +135,7 @@ def test_assembly_tier_plans(spark):
     from fundamental_spark.operators.pipeline import pack_sequences
 
     pack_plan = (
-        pack_sequences(T(spark, SF, "documents"))
+        pack_sequences(spark.read.parquet(f"{SF}/documents.parquet"))
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert pack_plan.count("Exchange hashpartitioning") == 1
