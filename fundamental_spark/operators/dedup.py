@@ -1173,6 +1173,7 @@ def _verify_candidate_pairs(
     id_col: str,
     text_col: str,
     hashes: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
     shingle arrays are built ONLY for docs appearing in a candidate
@@ -1187,14 +1188,22 @@ def _verify_candidate_pairs(
     round-robin exchange costs ~the array bytes once and buys the full
     session parallelism for the HOF evaluation.
 
-    The candidate frame is materialized ONCE (eager localCheckpoint —
-    pair rows only, small by construction): it is consumed twice below
-    (``involved`` prune + the verify join), and without the checkpoint
-    Spark re-executes the entire candidate-generation subtree per
-    consumer — column pruning gives each consumer a different
-    canonical plan, so exchange reuse cannot deduplicate them
-    (measured: two extra full corpus passes at sf1.0, round 7)."""
-    cands = cands.localCheckpoint(eager=True)
+    With ``materialize=True`` (default — the corpus-scale registered
+    queries) the candidate frame is materialized ONCE (eager
+    localCheckpoint — pair rows only, small by construction): it is
+    consumed twice below (``involved`` prune + the verify join), and
+    without the checkpoint Spark re-executes the entire
+    candidate-generation subtree per consumer — column pruning gives
+    each consumer a different canonical plan, so exchange reuse cannot
+    deduplicate them (measured: two extra full corpus passes at
+    sf1.0, round 7). ``materialize=False`` keeps the whole verify
+    LAZY (no checkpoints, no broadcast hints, planner-chosen joins):
+    the right shape for per-wave/per-batch DELTA probes, where the
+    candidate subtree is delta-sized and cheap to recompute but every
+    eager checkpoint is a fixed driver round-trip per wave (measured:
+    the eager shape cost the crawl hook +1.5-4 s/wave at sf0.1)."""
+    if materialize:
+        cands = cands.localCheckpoint(eager=True)
     involved = (
         cands.select(F.col("doc_a").alias("doc"))
         .unionByName(cands.select(F.col("doc_b").alias("doc")))
@@ -1211,11 +1220,11 @@ def _verify_candidate_pairs(
     # projections of this table, and without the checkpoint each
     # broadcast build re-runs the whole semi-join + shingle + agg
     # subtree (measured as two full corpus passes at sf1.0)
-    hsz = (
-        hs_src.groupBy("doc")
-        .agg(F.collect_list("h").alias("hs"), F.count("*").alias("n_sh"))
-        .localCheckpoint(eager=True)
+    hsz = hs_src.groupBy("doc").agg(
+        F.collect_list("h").alias("hs"), F.count("*").alias("n_sh")
     )
+    if materialize:
+        hsz = hsz.localCheckpoint(eager=True)
     a_sh = hsz.select(
         F.col("doc").alias("doc_a"), F.col("hs").alias("sh_a"), F.col("n_sh").alias("na")
     )
@@ -1232,6 +1241,19 @@ def _verify_candidate_pairs(
     # (≤ 2·|cands|), the side this operator's whole design keeps small;
     # a candidate set too big to broadcast its arrays is one whose
     # banding config has already failed (background pruning lost).
+    if not materialize:
+        scored = cands.join(a_sh, "doc_a").join(b_sh, "doc_b").select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            "na",
+            "nb",
+        )
+        jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        return (
+            scored.filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        )
     scored = (
         cands.repartition(par)
         .join(F.broadcast(a_sh), "doc_a")
@@ -1298,6 +1320,7 @@ def minhash_probe_band_index(
     text_col: str = "text",
     new_bands: DataFrame | None = None,
     mixing: str = "wrap31",
+    materialize: bool = True,
 ) -> DataFrame:
     """Probe a STORED band index with an ingest delta — the production
     sibling of ``minhash_incremental_pairs`` (which derives its index
@@ -1317,7 +1340,17 @@ def minhash_probe_band_index(
     unioning the outputs reproduces EXACTLY the full-corpus
     ``minhash_lsh_pairs`` set — a pair is caught by the ingest that
     completes it, and only that one (earlier docs sit in the index,
-    same-ingest pairs canonicalize + distinct)."""
+    same-ingest pairs canonicalize + distinct).
+
+    ``materialize`` (default True): materialize the candidate set and
+    verify arrays once (see _verify_candidate_pairs). Round-7 A/B on
+    the sf0.1 crawl hook (4.6M candidates by wave 7 under the fixed
+    wrap31 statistics): True ≈ 4.9 s/wave vs False ≈ 12 s/wave —
+    the lazy shape re-runs the index probe and the text-derivation
+    HOFs once per verify consumer, which dominates as soon as the
+    candidate volume is non-trivial. False remains for genuinely tiny
+    deltas where the extra eager driver round-trips are the larger
+    term."""
     if not allow_low_recall:
         cap = minhash_capture_prob(threshold, k, bands)
         if cap < 0.9:
@@ -1353,7 +1386,8 @@ def minhash_probe_band_index(
         .distinct()
     )
     return _verify_candidate_pairs(
-        cands, texts, threshold=threshold, n=n, id_col=id_col, text_col=text_col
+        cands, texts, threshold=threshold, n=n, id_col=id_col,
+        text_col=text_col, materialize=materialize,
     )
 
 
