@@ -176,7 +176,14 @@ def bm25_topk(
     """
     terms = [t.lower() for t in query_terms]
     dl = F.size(tokens(F.col(text_col))).alias("dl")
-    toks = docs.select(
+    # spread the token-explode side only (round 7): the lower+split+
+    # explode pass is per-row-heavy and a small-file scan serializes it
+    # (openCostInBytes floors split sizes; no-op at cluster scale). The
+    # corpus-stats leg below deliberately stays on the UNSPREAD input:
+    # avg(dl) is a float partial-sum whose order must not change.
+    from ..operators.dedup import spread
+
+    toks = spread(docs).select(
         F.col(id_col), dl, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).filter(F.col("term").isin(*terms))
     tf = toks.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))

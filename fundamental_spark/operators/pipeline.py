@@ -84,7 +84,13 @@ def repetition_metrics(
     cost is O(len), shuffle keyed on (doc, gram) — a per-row
     count-duplicates HOF would be O(len²) per document, quadratic in
     exactly the long-document tail a repetition filter exists to
-    catch."""
+    catch. Input spread (round 7): the two explode+agg passes are the
+    per-row-heavy kind that a 2-partition small-file scan serializes
+    (openCostInBytes floors split sizes) — same rule as the other
+    text operators, a no-op at cluster scale."""
+    from .dedup import spread
+
+    docs = spread(docs)
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
@@ -189,7 +195,12 @@ def contamination_check(
     the shingle — shuffle keyed by shingle, never an all-pairs join;
     the benchmark shingle set is DISTINCT'd first (small: eval sets are
     tiny next to the corpus) so each training shingle matches at most
-    once."""
+    once. Input spread (round 7): the 5-gram explode ran on the raw
+    2-partition scan — 2-task 3.5 s-CPU stages at sf1.0; measured
+    6.8 s → 1.4 s with the spread."""
+    from .dedup import spread
+
+    docs = spread(docs)
     cand = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
@@ -391,7 +402,12 @@ def line_occurrences(
     (the synthetic documents table has none); real crawl text splits
     on ``delimiter``. Downstream consumers project the line text away
     before any exchange — only the 60-bit hash plus (id, pos) and the
-    requested passthrough columns ever shuffle."""
+    requested passthrough columns ever shuffle. Input spread (round
+    7): the chunk/split explode is per-row-heavy; measured
+    8.3 s → 4.0 s for line_dedup_stats at sf1.0 with the spread."""
+    from .dedup import spread
+
+    docs = spread(docs)
     cols = [id_col, *extra_cols]
     if chunk_words is not None:
         words = F.split(F.col(text_col), " ")
@@ -1273,6 +1289,14 @@ def quality_lr_fit(
     driver. Per-step weights are pinned to a 1e-9 grid in BOTH engines
     (the k-means/PQ trick) so float drift cannot compound across
     steps."""
+    from .dedup import spread
+
+    # spread (round 7): the feature expressions (stopword fraction via
+    # array HOFs, distinct-token fraction) are per-row-heavy and ran on
+    # the raw 2-partition scan; every cross-row float this fit produces
+    # (moments, gradients, weights) is pinned to the 1e-9 grid by
+    # design, so the distribution change cannot perturb results.
+    docs = spread(docs)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     labels = repetition_metrics(docs, id_col=id_col, text_col=text_col).select(
         id_col, F.col("keep").cast("double").alias("y")

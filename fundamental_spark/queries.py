@@ -82,34 +82,23 @@ from .operators.similarity import (
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one input table, spread to the session's parallelism.
+    """Read one input table — a PLAIN scan, deliberately.
 
-    Small single-file tables split into ~size/4MB scan partitions
-    (spark.sql.files.openCostInBytes floors the split size), so at
-    bench scale the 5.7MB documents table scans as 2 partitions and
-    every heavy row-wise expression over it (regex tokenization, md5
-    shingling, HOF lambdas) runs on 2 of the session's cores — stage
-    profiles showed 2-task 3.5s-CPU stages across the text-pipeline
-    queries (round 7). Repartitioning up front is a no-op at cluster
-    scale (scans already split into >= cores partitions) and costs one
-    small exchange here; it is the same rule as operators.*.spread,
-    applied centrally so every text/stream query starts parallel.
-
-    ONLY documents and events are spread: their per-row work dominates
-    and their operators already re-spread internally (so the oracle
-    parity of every float aggregate over them is pinned under
-    repartitioned input at all three SFs). The TPC tables are NOT
-    spread — their queries are scan+aggregate (lineitem already splits
-    to >= cores), and repartitioning them changes float partial-sum
-    order: measured at sf0.001, AVG(p_retailprice) under a round-robin
-    repartition of `part` flips a ROUND(..,2) boundary in rooms_impact
-    / room_premium vs the DuckDB oracle."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "events"):
-        target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
-    return df
+    Round-7 finding, recorded here because it is easy to re-break:
+    small single-file tables split into ~size/4MB scan partitions
+    (spark.sql.files.openCostInBytes floors the split size), so heavy
+    row-wise text work over the 5.7MB sf1.0 documents table ran on 2
+    of 32 cores. A CENTRAL repartition here was tried and reverted:
+    (a) spreading the TPC tables changes float partial-sum order and
+    flipped a ROUND(..,2) boundary in rooms_impact/room_premium vs the
+    oracle at sf0.001; (b) spreading documents/events taxed every
+    LIGHT query with an exchange it does not amortize (packing_stats
+    0.24→0.35 s, dup_span_stats 0.33→0.60 s in the interleaved sf1.0
+    A/B — the driver grades query-by-query). The spread lives in the
+    OPERATORS whose per-row work needs it (operators.dedup.spread —
+    a no-op at cluster scale), which also pins each float aggregate's
+    oracle parity against exactly the distribution it runs under."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

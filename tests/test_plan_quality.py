@@ -119,9 +119,8 @@ def test_assembly_tier_plans(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
     # split assignment itself (pre-agg) is a pure projection: no
-    # exchange OF ITS OWN. Pinned on the raw read — round 7's T()
-    # deliberately spreads small `documents` scans with one up-front
-    # repartition (an input-preparation exchange, not a with_split one)
+    # exchange of its own (pinned on the raw read so the pin stays
+    # independent of any input-preparation spreading elsewhere)
     from fundamental_spark.operators.pipeline import with_split
 
     split_plan = (
