@@ -3268,17 +3268,56 @@ _DRIVER_CONFIRMED_R5 = [
 ]
 
 
+def _driver_confirmation_age() -> dict[str, int]:
+    """last round in which each query earned a driver-green row,
+    derived from the recorded CORRECTNESS_r*.json key sets (round-6
+    advice #1: no hardcoded snapshot, no stale list). Only rows whose
+    hash matched count as confirmation. Returns {} when no records are
+    readable (e.g. a dist tree without the round files)."""
+    import glob
+    import json as _json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ages: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                ages[name] = max(ages.get(name, 0), rnd)
+    return ages
+
+
 def _rotate_driver_window() -> None:
-    """Reorder SPARK_QUERIES so never-driver-confirmed queries occupy
-    the first slots; veterans pad the remainder in registration order
-    (their relative order encodes confirmation age for future
-    rotations). Pure reordering — the key set and every callable are
-    unchanged."""
+    """Reorder SPARK_QUERIES so the queries whose driver confirmation
+    is OLDEST (or absent) occupy the first slots — the 50-slot driver
+    window then re-verifies exactly the registrations that have gone
+    longest without a driver-green row. Age derives from the recorded
+    CORRECTNESS_r*.json files (never-confirmed = age 0 leads; ties
+    break by registration order, which is deterministic); with no
+    records readable, the static round-5 snapshot below approximates
+    the same policy. Pure reordering — the key set and every callable
+    are unchanged, and tests/test_oracle_parity.py remains the
+    mandatory full-registry backstop for whatever sits past slot 50."""
     global SPARK_QUERIES, ORACLE_SQL
-    confirmed = set(_DRIVER_CONFIRMED_R5)
-    priority = [n for n in SPARK_QUERIES if n not in confirmed]
-    pad = [n for n in SPARK_QUERIES if n in confirmed]
-    order = priority + pad
+    ages = _driver_confirmation_age()
+    if ages:
+        reg = {n: i for i, n in enumerate(SPARK_QUERIES)}
+        order = sorted(SPARK_QUERIES, key=lambda n: (ages.get(n, 0), reg[n]))
+    else:
+        confirmed = set(_DRIVER_CONFIRMED_R5)
+        priority = [n for n in SPARK_QUERIES if n not in confirmed]
+        pad = [n for n in SPARK_QUERIES if n in confirmed]
+        order = priority + pad
     SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in order}
     ORACLE_SQL = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
 
