@@ -421,6 +421,16 @@ def assign_cells_coarse(
     s = np.sign(s) * np.floor(np.abs(s) * 1e9 + 0.5) / 1e9
     group_of = np.argsort(s, axis=1, kind="stable")[:, ::-1][:, 0]
     members_idx = [np.nonzero(group_of == j)[0] for j in range(g)]
+    # round-6 advice #4: empty groups keep stale reps and could be
+    # ranked into a row's top-p probe set — in the worst case ALL of a
+    # row's probed groups are empty and the cells array comes out
+    # empty, silently parking the row in a null cell downstream.
+    # Restrict the probe ranking to groups that actually have member
+    # centroids; every row then always scores >= 1 real centroid.
+    nonempty = [j for j in range(g) if len(members_idx[j])]
+    reps = reps[nonempty]
+    members_idx = [members_idx[j] for j in nonempty]
+    g = len(nonempty)
     p = min(n_probe_groups, g)
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]

@@ -457,11 +457,23 @@ def drain_neardup(
     bands_schema = "doc bigint, band_idx int, band_hash string"
     texts_schema = "doc_id bigint, text string"
 
+    def _hadoop_path_exists(path: str) -> bool:
+        # existence via Spark's Hadoop FileSystem API (round-6 advice
+        # #2): os.path.isdir returns False for ANY non-local URI —
+        # hdfs://, s3a:// — and would silently treat prior band/text
+        # state as empty, producing wrong pair output. This resolves
+        # the path against the session's Hadoop conf, so non-local
+        # state dirs either work or raise.
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf).exists(p)
+
     def _read_state(base: str, schema: str, upto_batch: int) -> DataFrame:
         # prior state = every batch partition BELOW the current id;
-        # only absence of the directory falls back to empty — any
+        # only TRUE ABSENCE of the path falls back to empty — any
         # other read failure must raise, not silently drop state
-        if not os.path.isdir(base):
+        if not _hadoop_path_exists(base):
             return spark.createDataFrame([], schema)
         return (
             spark.read.option("basePath", base)
