@@ -141,11 +141,14 @@ def _shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataF
 
 def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc, h): one row per distinct shingle with its 60-bit hash —
-    the shared input of the signature agg and the verify-array agg.
-    The regex shingling + md5 pass is the expensive part of every
-    minhash plan; callers that need both aggs should compute this once
-    (localCheckpoint) and pass it to minhash_signatures(hashes=...) /
-    _verify_candidate_pairs(hashes=...)."""
+    the exploded hash table the signature agg, the verify aggs and the
+    blocked-jaccard block builder all derive from. NOTE: computing
+    this ONCE per plan via an eager checkpoint and sharing it between
+    consumers was measured SLOWER than letting each consumer re-run
+    the scan-fused pipeline (round 7: materializing the exploded rows
+    cost 46 s executor time vs the ~31 s fused pass, and consumers
+    lose whole-stage codegen with the scan) — keep consumers deriving
+    it independently."""
     return (
         spread(docs)
         .select(
@@ -164,6 +167,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     plan: str = "blocked",
     block_rows: int = 2048,
+    broadcast_blocks: bool | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold: (doc_a, doc_b, jaccard).
 
@@ -235,12 +239,7 @@ def ngram_jaccard_pairs(
     par = sess.sparkContext.defaultParallelism
     nblocks = max(math.ceil(n_docs / block_rows), math.ceil(math.sqrt(2 * par)))
     hsz = (
-        spread(docs)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
-        )
-        .select("doc", _md5_hash60(F.col("sh")).alias("h"))
+        _shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
         .groupBy("doc")
         .agg(F.collect_list("h").alias("hs"))
     )
@@ -291,7 +290,15 @@ def ngram_jaccard_pairs(
     # anyway (Σ df² pair increments), and the banded/winnow paths are
     # the scale plans.
     ntasks = min(nblocks * (nblocks + 1) // 2, 4 * par)
-    if n_docs * 64 * 8 <= 512 * 1024 * 1024:  # ≲1M docs: blocks broadcast
+    if broadcast_blocks is None:
+        # HEURISTIC, not a measurement: assumes ~64 distinct shingles
+        # per doc (the corpus class here runs ~52). An F.broadcast hint
+        # bypasses autoBroadcastJoinThreshold, so a long-document
+        # corpus (thousands of shingles/doc) should pass
+        # broadcast_blocks=False explicitly and take the shuffle join
+        # rather than risk the 8 GB broadcast cap / driver memory.
+        broadcast_blocks = n_docs * 64 * 8 <= 512 * 1024 * 1024
+    if broadcast_blocks:
         a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
     tasks = pair_meta.repartition(ntasks).join(a_side, "blk_a").join(b_side, "blk_b")
 
@@ -378,7 +385,6 @@ def minhash_signatures(
     docs: DataFrame, k: int = 64, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
     mixing: str = "wrap31",
-    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with mh0..mh{k-1} — explode the shingle set,
     hash + affine-transform in WHOLE-STAGE CODEGEN, and take the k
@@ -404,17 +410,11 @@ def minhash_signatures(
     ``mixing`` selects the per-position hash (see _MIXINGS above):
     "wrap31" (default) = pmod(a_i*h + b_i, 2^31-1), independent
     positions, valid banded-capture statistics; "affine61" = the
-    degenerate legacy arithmetic the two frozen oracle queries pin.
-
-    ``hashes``: optional precomputed (doc, h) 60-bit shingle-hash
-    table (_shingle_hashes) — pass a checkpointed one when the caller
-    also verifies candidates, so the corpus is shingled once."""
+    degenerate legacy arithmetic the two frozen oracle queries pin."""
     if mixing not in _MIXINGS:
         raise ValueError(f"unknown mixing {mixing!r}; one of {_MIXINGS}")
     mod = P31 if mixing == "wrap31" else MERSENNE61
-    base = hashes if hashes is not None else _shingle_hashes(
-        docs, id_col=id_col, text_col=text_col, n=n
-    )
+    base = _shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
     # bound the base hash to 2^31 so a*h fits int64 under ANSI
     ex = base.select("doc", F.pmod(F.col("h"), F.lit(1 << 31)).alias("h"))
     return ex.groupBy("doc").agg(
@@ -1172,7 +1172,6 @@ def _verify_candidate_pairs(
     n: int,
     id_col: str,
     text_col: str,
-    hashes: DataFrame | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
@@ -1209,13 +1208,10 @@ def _verify_candidate_pairs(
         .unionByName(cands.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    if hashes is not None:
-        hs_src = hashes.join(involved, "doc", "left_semi")
-    else:
-        docs_inv = docs.join(
-            involved.withColumnRenamed("doc", id_col), id_col, "left_semi"
-        )
-        hs_src = _shingle_hashes(docs_inv, id_col=id_col, text_col=text_col, n=n)
+    docs_inv = docs.join(
+        involved.withColumnRenamed("doc", id_col), id_col, "left_semi"
+    )
+    hs_src = _shingle_hashes(docs_inv, id_col=id_col, text_col=text_col, n=n)
     # materialized once: a_sh and b_sh below are two different
     # projections of this table, and without the checkpoint each
     # broadcast build re-runs the whole semi-join + shingle + agg
@@ -1232,16 +1228,25 @@ def _verify_candidate_pairs(
         F.col("doc").alias("doc_b"), F.col("hs").alias("sh_b"), F.col("n_sh").alias("nb")
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # repartition the PAIRS before the joins (a projection placed after
-    # a trailing repartition gets pushed below it, so the exchange must
-    # come first), and broadcast the array sides explicitly: the hash
-    # joins then preserve the round-robin partitioning and the
-    # interpreted intersect runs at full parallelism. The broadcast is
-    # safe by construction — hsz holds only candidate-INVOLVED docs
-    # (≤ 2·|cands|), the side this operator's whole design keeps small;
-    # a candidate set too big to broadcast its arrays is one whose
-    # banding config has already failed (background pruning lost).
-    if not materialize:
+    # Materialized path: repartition the PAIRS before the joins (a
+    # projection placed after a trailing repartition gets pushed below
+    # it, so the exchange must come first) and broadcast the array
+    # sides so the hash joins preserve the round-robin partitioning
+    # and the interpreted intersect runs at full parallelism. The
+    # broadcast is GATED on the ACTUAL array bytes (one cheap agg over
+    # the already-materialized hsz — an F.broadcast hint bypasses
+    # autoBroadcastJoinThreshold entirely, and a degenerate candidate
+    # set can pull most of the corpus into `involved`, where a forced
+    # multi-GB broadcast would hit the 8 GB hard cap or OOM the
+    # driver). Past the gate the planner-chosen join is the right
+    # plan anyway: at that volume the join exchanges are large, so
+    # AQE's small-bytes single-task collapse — the problem the
+    # broadcast shape exists to solve — cannot occur.
+    use_broadcast = False
+    if materialize:
+        tot = hsz.agg(F.sum("n_sh")).collect()[0][0] or 0
+        use_broadcast = tot * 8 <= 256 * 1024 * 1024
+    if not use_broadcast:
         scored = cands.join(a_sh, "doc_a").join(b_sh, "doc_b").select(
             "doc_a",
             "doc_b",
@@ -1287,7 +1292,17 @@ def minhash_band_table(
     with the same codegen signature agg as ``minhash_lsh_pairs`` —
     one 65-value row per doc crosses the exchange, never the shingle
     table. Persist this table once; every future ingest probes it with
-    ``minhash_probe_band_index`` and appends its own delta's rows."""
+    ``minhash_probe_band_index`` and appends its own delta's rows.
+
+    STATE-VERSION WARNING: band hashes are a function of ``mixing``
+    (and of (k, bands, n)). An index persisted under the pre-round-7
+    default ("affine61", the degenerate construction) does NOT match
+    probes computed under the fixed "wrap31" default — the join finds
+    zero prior-run collisions and silently drops every cross-version
+    pair. A store that predates the wrap31 upgrade must either be
+    REBUILT from its texts or be probed with mixing="affine61"
+    explicitly; the table carries no marker, so the operator cannot
+    detect the mismatch itself."""
     assert k % bands == 0
     r = k // bands
     sigs = minhash_signatures(

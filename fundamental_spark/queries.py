@@ -73,7 +73,6 @@ from .operators.similarity import (
     brute_force_topk,
     embedding_near_dup_auto,
     embedding_near_dup_lsh_pairs,
-    embedding_near_dup_pairs,
     gemm_topk,
     ivf_topk,
     lsh_topk,
@@ -3297,20 +3296,42 @@ def _driver_confirmation_age() -> dict[str, int]:
     return ages
 
 
+# Queries whose PHYSICAL PLAN changed in round 7 (blocked jaccard,
+# GEMM swap + flat payloads, checkpointed minhash verify, winnow/
+# session repartitions, kmeans/PQ trainer changes, operator spreads,
+# one-pass dsir, LR cache fix). A prior driver confirmation predates
+# the change, so for rotation purposes they count as UNCONFIRMED —
+# they must lead the round-7 window regardless of their last green
+# round (results are bit-identical by construction; the window is the
+# driver's independent proof).
+_PLAN_CHANGED_R7 = [
+    "dedup_ngram_jaccard", "dedup_minhash_auto", "dedup_clusters",
+    "dedup_keep_best", "dedup_minhash_lsh", "dedup_minhash_incremental",
+    "dedup_winnow", "embedding_near_dup", "embedding_near_dup_auto",
+    "ann_ivf", "ann_ivf_recall", "ann_ivfpq", "ann_ivfpq_recall",
+    "semdedup_stats", "ann_pq", "ann_pq_recall", "gopher_repetition",
+    "quality_classifier", "pipeline_e2e", "benchmark_contamination",
+    "line_dedup_stats", "bm25_search", "dsir_weights", "event_sessions",
+]
+
+
 def _rotate_driver_window() -> None:
     """Reorder SPARK_QUERIES so the queries whose driver confirmation
-    is OLDEST (or absent) occupy the first slots — the 50-slot driver
-    window then re-verifies exactly the registrations that have gone
-    longest without a driver-green row. Age derives from the recorded
-    CORRECTNESS_r*.json files (never-confirmed = age 0 leads; ties
-    break by registration order, which is deterministic); with no
-    records readable, the static round-5 snapshot below approximates
-    the same policy. Pure reordering — the key set and every callable
-    are unchanged, and tests/test_oracle_parity.py remains the
-    mandatory full-registry backstop for whatever sits past slot 50."""
+    is OLDEST (or absent, or stale because this round changed their
+    physical plan — _PLAN_CHANGED_R7) occupy the first slots — the
+    50-slot driver window then re-verifies exactly the registrations
+    whose last driver-green row is least meaningful. Age derives from
+    the recorded CORRECTNESS_r*.json files (ties break by registration
+    order, which is deterministic); with no records readable, the
+    static round-5 snapshot below approximates the same policy. Pure
+    reordering — the key set and every callable are unchanged, and
+    tests/test_oracle_parity.py remains the mandatory full-registry
+    backstop for whatever sits past slot 50."""
     global SPARK_QUERIES, ORACLE_SQL
     ages = _driver_confirmation_age()
     if ages:
+        for n in _PLAN_CHANGED_R7:
+            ages[n] = 0
         reg = {n: i for i, n in enumerate(SPARK_QUERIES)}
         order = sorted(SPARK_QUERIES, key=lambda n: (ages.get(n, 0), reg[n]))
     else:

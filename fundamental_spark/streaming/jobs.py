@@ -448,7 +448,14 @@ def drain_neardup(
     "prior" state: a doc duplicated into the verification corpus
     halves its own jaccard), which together make the foreachBatch sink
     exactly-once (the same contract the crawl gets from its
-    delta-table commit protocol)."""
+    delta-table commit protocol).
+
+    STATE-VERSION WARNING (round 7): stored band hashes depend on the
+    MinHash ``mixing`` construction. A ``state_dir`` written by
+    pre-round-7 code (the degenerate "affine61" default) must be
+    rebuilt before resuming under the fixed "wrap31" default — old
+    bands match nothing, so cross-version near-dup pairs would be
+    silently lost (see minhash_band_table)."""
     from ..operators.dedup import minhash_band_table, minhash_probe_band_index
 
     bands_dir = os.path.join(state_dir, "bands")
