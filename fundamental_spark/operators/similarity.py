@@ -814,27 +814,34 @@ def embedding_near_dup_gemm(
         [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
         "blk_a int, blk_b int",
     )
-    tasks = (
-        pair_meta.join(
-            blocks.select(
-                F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
-                F.col("flat").alias("flat_a"),
-            ),
-            "blk_a",
-        )
-        .join(
-            blocks.select(
-                F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
-                F.col("flat").alias("flat_b"),
-            ),
-            "blk_b",
-        )
-        # the block table is tiny in ROWS (B of them), so AQE would
-        # coalesce this expanding join to 1-2 partitions and the GEMM
-        # would run nearly single-threaded — same respread rule as the
-        # band joins (dedup.py)
-        .repartition(min(nblocks * (nblocks + 1) // 2, 4 * par))
+    # Fan the TINY pair-meta out to the task count FIRST, then attach
+    # the block payloads by broadcast (guide §8 — decide with small
+    # rows, move big rows once): letting the planner shuffle-join here
+    # ships every block once PER PAIR through the exchange — measured
+    # at 500k×64 vectors the planner flips from broadcast to SMJ
+    # (blocks ~260 MB > the auto threshold) and the B≈123-block
+    # fan-out shuffles ~30 GB where the broadcast moves 260 MB once
+    # (147.6 s → ~60 s for the same threshold-0.995 run, round 7).
+    # The gate uses the ACTUAL n·dim·8 payload bytes (dim from one
+    # first() row); past ~512 MB the plain join is the degraded mode —
+    # and an exact all-pairs cosine at that n is n²-infeasible anyway
+    # (the LSH path is the scale plan). The repartition also prevents
+    # AQE coalescing the expanding GEMM onto 1-2 tasks (same respread
+    # rule as the band joins in dedup.py).
+    a_side = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("flat").alias("flat_a"),
     )
+    b_side = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("flat").alias("flat_b"),
+    )
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    if n * max(dim, 1) * 8 <= 512 * 1024 * 1024:
+        a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
+    ntasks = min(nblocks * (nblocks + 1) // 2, 4 * par)
+    tasks = pair_meta.repartition(ntasks).join(a_side, "blk_a").join(b_side, "blk_b")
 
     def _unpack(ids_cell, flat_cell):
         ids = np.asarray(ids_cell)
